@@ -1,0 +1,179 @@
+"""Device-resident training data pipeline.
+
+Replaces the reference's CPU DataLoader + per-sample Python augmentation
+(reference: pytorch/Datagenerators.py:17-115 ``DataGenerator`` with shuffled
+index ring :39-65; tensorflow/simple_data_generator.py:31-70). The dataset is
+small (hundreds-to-thousands of 192x192 frames), so it lives in HBM whole;
+per-step batches are pure on-device gathers, and augmentation runs inside the
+jitted train step (:mod:`..ops.affine`). The host only produces int32 index
+arrays — the feed-bandwidth bottleneck of the reference simply disappears
+(SURVEY §7 layer 3).
+
+For the disentangled camera models the per-frame crop-adjusted projection
+matrices (reference: pytorch/Datagenerators.py:228-270, 382-413) are
+precomputed once on host and ride along as (N, 4, 3, 4)/(N, 4, 4, 3) arrays;
+the per-sample random wing choice (:257-260) becomes part of the offline
+per-wing duplication instead, which covers both wings every epoch rather than
+sampling one.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+from ..config import Config
+from ..ops import geometry
+from .preprocess import Preprocessor
+
+
+class DeviceDataset:
+    """Arrays in HBM + host-side epoch index generation.
+
+    Split semantics match the reference: one shuffled permutation, first
+    ``val_fraction`` to validation (pytorch/Datagenerators.py:109-115), with
+    the epoch batch ring of pytorch/Datagenerators.py:39-65 (wrap-around to
+    keep batch size constant).
+    """
+
+    def __init__(
+        self,
+        cfg: Config,
+        data: dict[str, np.ndarray],
+        seed: int | None = None,
+    ):
+        self.cfg = cfg
+        self.rng = np.random.default_rng(cfg.seed if seed is None else seed)
+        n = data["box"].shape[0]
+        order = self.rng.permutation(n)
+        val_size = round(n * cfg.val_fraction)
+        self.val_inds = order[:val_size]
+        self.train_inds = order[val_size:]
+        # Device-resident dataset (donate to HBM once).
+        self.data = {k: jnp.asarray(v) for k, v in data.items()}
+        self.num_samples = n
+        self._epoch_order = self.train_inds.copy()
+        self._cursor = 0
+
+    # -- reference-parity epoch iteration ------------------------------------
+    def shuffle_train_indices(self) -> None:
+        self.rng.shuffle(self._epoch_order)
+        self._cursor = 0
+
+    def next_batch_indices(self, batch_size: int) -> np.ndarray:
+        """Wrap-around batch ring (pytorch/Datagenerators.py:43-65)."""
+        out: list[int] = []
+        while len(out) < batch_size:
+            take = min(batch_size - len(out), len(self._epoch_order) - self._cursor)
+            out.extend(self._epoch_order[self._cursor : self._cursor + take])
+            self._cursor += take
+            if self._cursor >= len(self._epoch_order):
+                self._cursor = 0
+        return np.asarray(out[:batch_size], np.int32)
+
+    def step_indices(self, batch_size: int, accum_steps: int) -> np.ndarray:
+        """(accum_steps, batch_size) indices for one optimiser step."""
+        return np.stack(
+            [self.next_batch_indices(batch_size) for _ in range(accum_steps)]
+        )
+
+    def val_batches(self, batch_size: int):
+        """Full-coverage validation batches (last batch padded by wrap)."""
+        inds = self.val_inds
+        for i in range(0, len(inds), batch_size):
+            chunk = inds[i : i + batch_size]
+            yield np.asarray(chunk, np.int32), len(chunk)
+
+    def gather(self, ids: np.ndarray) -> dict[str, jax.Array]:
+        ids = jnp.asarray(ids)
+        batch = {
+            "image": jnp.take(self.data["box"], ids, axis=0),
+            "confmaps": jnp.take(self.data["confmaps"], ids, axis=0),
+        }
+        for k in ("P", "P_inv"):
+            if k in self.data:
+                batch[k] = jnp.take(self.data[k], ids, axis=0)
+        return batch
+
+
+def _camera_matrix_arrays(
+    pre: Preprocessor,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-frame crop-adjusted (P, pinv P) for the disentangled models.
+
+    Host twin of CameraMatrixGenerator (pytorch/Datagenerators.py:382-413):
+    decompose each DLT camera once, then shift principal points per frame's
+    cropZone. Runs the jittable ops.geometry versions batched over frames.
+    """
+    cams = jnp.asarray(pre.camera_matrices)  # (4, 3, 4)
+    Ks, Rs, ts = jax.vmap(geometry.decompose_camera)(cams)
+
+    def per_frame(cz):
+        return geometry.crop_adjusted_matrices(Ks, Rs, ts, cz)
+
+    P, P_inv = jax.vmap(per_frame)(jnp.asarray(pre.cropzone, jnp.float32))
+    return np.asarray(P), np.asarray(P_inv)
+
+
+def build_dataset(
+    cfg: Config,
+    arrays: dict[str, np.ndarray] | None = None,
+    preprocessor: Preprocessor | None = None,
+) -> tuple[DeviceDataset, Preprocessor]:
+    """Run offline preprocessing and stage the result on device."""
+    pre = preprocessor or Preprocessor(cfg, arrays)
+    pre.do_preprocess()
+
+    if cfg.model_type in (
+        C.ALL_CAMS_DISENTANGLED_PER_WING_CNN,
+        C.ALL_CAMS_DISENTANGLED_PER_WING_VIT,
+    ):
+        # Disentangled path trains on per-wing samples with camera matrices
+        # (pytorch/Datagenerators.py:67-84 uses box_orig/confmaps_orig).
+        box, confmaps = _assemble_disentangled(pre)
+        P, P_inv = _camera_matrix_arrays(pre)
+        # two wing-samples per frame -> duplicate camera matrices
+        P = np.concatenate([P, P], axis=0)
+        P_inv = np.concatenate([P_inv, P_inv], axis=0)
+        data = {"box": box, "confmaps": confmaps, "P": P, "P_inv": P_inv}
+    else:
+        data = {"box": pre.get_box(), "confmaps": pre.get_confmaps()}
+    return DeviceDataset(cfg, data), pre
+
+
+def _assemble_disentangled(pre: Preprocessor) -> tuple[np.ndarray, np.ndarray]:
+    """Build (2F, H, W, 16) boxes and (2F, H, W, 4*(half+2)) confmaps.
+
+    Twin of CameraMatrixGenerator.__getitem__ (pytorch/Datagenerators.py:
+    242-270): per wing, each camera contributes [t0, t1, t2, wing_mask]; the
+    confmaps are that wing's channels + head/tail, all 4 cameras concatenated
+    on channels. Instead of sampling one random wing per epoch we emit both
+    wings as separate samples.
+    """
+    box_orig = pre.get_box_orig()  # (F, 4cams, H, W, 5)
+    cm_orig = pre.get_confmaps_orig()  # (F, 4cams, H, W, 2*half [+2])
+    ncams = box_orig.shape[1]
+    t = pre.num_time_channels
+
+    # prepare_confmaps (pytorch/Datagenerators.py:272-280)
+    head_tail = cm_orig[..., -2:]
+    wings = cm_orig[..., :-2]
+    left_cm, right_cm = np.array_split(wings, 2, axis=-1)
+    left_cm = np.concatenate([left_cm, head_tail], axis=-1)
+    right_cm = np.concatenate([right_cm, head_tail], axis=-1)
+
+    left_box = box_orig[..., list(range(t)) + [t]]
+    right_box = box_orig[..., list(range(t)) + [t + 1]]
+
+    def cams_to_channels(x):  # (F, cams, H, W, c) -> (F, H, W, cams*c)
+        return np.concatenate([x[:, c] for c in range(ncams)], axis=-1)
+
+    box = np.concatenate(
+        [cams_to_channels(left_box), cams_to_channels(right_box)], axis=0
+    )
+    confmaps = np.concatenate(
+        [cams_to_channels(left_cm), cams_to_channels(right_cm)], axis=0
+    )
+    return box.astype(np.float32), confmaps.astype(np.float32)

@@ -1,0 +1,516 @@
+"""Offline dataset preprocessing: H5 -> model-ready arrays.
+
+Host-side, one-shot re-implementation of the reference ``Preprocessor``
+(reference: pytorch/preprocessor.py:12-668, tensorflow/preprocessor.py) —
+the branchy, mask-dependent per-frame logic is deliberately kept OUT of jit
+(SURVEY §7 hard part 4) but is vectorised NumPy instead of the reference's
+Python triple loops. The augmentation / target-synthesis / decode hot path
+lives on device in :mod:`..ops`.
+
+Covered semantics, with reference citations:
+
+* load + normalise + transpose fixups       pytorch/preprocessor.py:102-118, 612-628
+* wing/confmap pairing ``split_per_wing``   pytorch/preprocessor.py:151-269
+* temporal mask repair ``fix_movie_masks``  pytorch/preprocessor.py:348-388
+* morphological cleanup ``adjust_mask``     pytorch/preprocessor.py:390-393
+* camera selection ``take_n_good_cameras``  pytorch/preprocessor.py:427-452
+* per-model reshape dispatch                pytorch/preprocessor.py:120-134
+* 18-points preprocess                      pytorch/preprocessor.py:590-610
+* ALL_CAMS 18-points reshape                pytorch/preprocessor.py:454-476
+* ALL_POINTS reshape                        pytorch/preprocessor.py:404-415
+* body-parts mask/peak matching             pytorch/preprocessor.py:551-588
+* curriculum sort by wing size              pytorch/preprocessor.py:530-536
+* left/right 3D consistency checker         pytorch/preprocessor.py:271-303
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import constants as C
+from ..config import Config
+
+MIN_IN_MASK = 3  # pytorch/preprocessor.py:153
+WHICH_TO_FLIP = np.array(
+    [
+        [0, 0, 0], [0, 0, 1], [0, 1, 0], [0, 1, 1],
+        [1, 0, 0], [1, 0, 1], [1, 1, 0], [1, 1, 1],
+    ]
+).astype(bool)  # pytorch/preprocessor.py:10
+
+
+# ---------------------------------------------------------------------------
+# Low-level helpers
+# ---------------------------------------------------------------------------
+def normalize(x: np.ndarray) -> np.ndarray:
+    """/255 normalisation for uint8-ish data (pytorch/preprocessor.py:612-628)."""
+    if x.ndim == 3:
+        x = x[None, ...]
+    if x.dtype == np.uint8 or x.max() > 1:
+        x = x.astype(np.float32) / 255.0
+    return np.asarray(x, dtype=np.float32)
+
+
+def find_peaks_np(confmaps: np.ndarray) -> np.ndarray:
+    """(N, H, W, C) -> (N, 2, C) integer [x, y] argmax peaks (NumPy twin of
+    ops.peaks.find_peaks_with_vals for host preprocessing)."""
+    n, h, w, c = confmaps.shape
+    flat = confmaps.reshape(n, h * w, c)
+    idx = np.argmax(flat, axis=1)
+    return np.stack([idx % w, idx // w], axis=1)
+
+
+def adjust_mask_np(mask: np.ndarray, mask_dilation: int) -> np.ndarray:
+    """binary_closing + binary_dilation(iterations), batched over leading dims.
+
+    Host twin of ops.morphology.adjust_mask (pytorch/preprocessor.py:390-393).
+    """
+    from scipy.ndimage import binary_closing, binary_dilation
+
+    out = np.empty_like(mask)
+    flat = mask.reshape((-1,) + mask.shape[-2:])
+    oflat = out.reshape((-1,) + mask.shape[-2:])
+    for i in range(flat.shape[0]):
+        m = binary_closing(flat[i].astype(bool))
+        m = binary_dilation(m, iterations=int(mask_dilation))
+        oflat[i] = m.astype(mask.dtype)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Preprocessor
+# ---------------------------------------------------------------------------
+class Preprocessor:
+    """H5 -> model-ready (box, confmaps) arrays, dispatched on model type.
+
+    Mirrors the reference class API (pytorch/preprocessor.py:12-100):
+    ``do_preprocess()`` then ``get_box()/get_confmaps()/...``.
+    """
+
+    def __init__(self, cfg: Config, arrays: dict[str, np.ndarray] | None = None):
+        self.cfg = cfg
+        self.model_type = cfg.model_type
+        self.mask_dilation = cfg.mask_dilation
+        self.debug_mode = cfg.debug_mode
+        self.wing_size_rank = cfg.rank_wing_size
+
+        if arrays is None:
+            arrays = self._load_h5(cfg.data_path)
+        self.box = normalize(arrays["box"])
+        self.confmaps = normalize(arrays["confmaps"])
+        self.cropzone = np.asarray(arrays["cropZone"])
+        self.camera_matrices = np.asarray(arrays["cameras_dlt_array"], np.float32)
+        self._points_3d_raw = np.asarray(arrays["points_3D"], np.float32)
+
+        if self.debug_mode:
+            # truncate to 10 frames (pytorch/preprocessor.py:42-51)
+            n = 10
+            self.box = self.box[:n]
+            self.confmaps = self.confmaps[:n]
+            self.cropzone = self.cropzone[:n]
+            self._points_3d_raw = self._points_3d_raw[:n]
+
+        self.num_frames = self.box.shape[0]
+        self.num_channels = self.box.shape[-1]
+        self.num_time_channels = self.num_channels - 2
+        self.left_mask_ind = self.num_time_channels
+        self.right_mask_ind = self.left_mask_ind + 1
+        self.time_channels = np.arange(self.num_time_channels)
+        self.fly_with_left_mask = np.append(self.time_channels, self.left_mask_ind)
+        self.fly_with_right_mask = np.append(self.time_channels, self.right_mask_ind)
+
+        self._derive_points_3d()
+        self.cropzone_per_wing = np.repeat(self.cropzone, 2, axis=0)
+        self.box_orig: np.ndarray | None = None
+        self.confmaps_orig: np.ndarray | None = None
+        self.num_samples: int | None = None
+
+    # -- loading -----------------------------------------------------------
+    @staticmethod
+    def _load_h5(path: str) -> dict[str, np.ndarray]:
+        """Load the five contract datasets, applying the reference's
+        transpose fixups (pytorch/preprocessor.py:102-118, 54, 60-62)."""
+        import h5py
+
+        with h5py.File(path, "r") as f:
+            box = f["box"][:]
+            confmaps = f["confmaps"][:]
+            cropzone = f["cropZone"][:]
+            cams = f["cameras_dlt_array"][:].T
+            pts = f["points_3D"][:]
+        if box.shape[0] != 2 and box.shape[1] != 4:
+            box = box.T
+        if confmaps.shape[0] != 2 or confmaps.shape[1] == 192:
+            confmaps = confmaps.T
+        pts = np.transpose(pts, [1, 2, 0])
+        return {
+            "box": box,
+            "confmaps": confmaps,
+            "cropZone": cropzone,
+            "cameras_dlt_array": cams,
+            "points_3D": pts,
+        }
+
+    def _derive_points_3d(self) -> None:
+        """Per-wing 3D point split (pytorch/preprocessor.py:60-71)."""
+        pts = self._points_3d_raw[: self.num_frames]
+        self.points_3d = pts
+        self.num_points = pts.shape[1]
+        num_wing_points = self.num_points - 2
+        self.left_inds = np.arange(0, num_wing_points // 2)
+        self.right_inds = np.arange(num_wing_points // 2, num_wing_points)
+        head_tail = np.array([-2, -1])
+        left = pts[:, np.append(self.left_inds, head_tail), :]
+        right = pts[:, np.append(self.right_inds, head_tail), :]
+        self.points_3d_per_wing = np.concatenate((left, right), axis=0)
+
+    # -- public API (reference parity) --------------------------------------
+    def do_preprocess(self) -> None:
+        fn = self._dispatch()
+        fn()
+
+    def get_box(self) -> np.ndarray:
+        return self.box
+
+    def get_confmaps(self) -> np.ndarray:
+        return self.confmaps
+
+    def get_box_orig(self) -> np.ndarray | None:
+        return self.box_orig
+
+    def get_confmaps_orig(self) -> np.ndarray | None:
+        return self.confmaps_orig
+
+    def get_cropzone(self) -> np.ndarray:
+        return self.cropzone
+
+    def get_cropzone_per_wing(self) -> np.ndarray:
+        return self.cropzone_per_wing
+
+    def get_points_3D_per_wing(self) -> np.ndarray:
+        return self.points_3d_per_wing
+
+    def get_num_frames(self) -> int:
+        return self.num_frames
+
+    def _dispatch(self):
+        mt = self.model_type
+        if mt in (C.ALL_POINTS_MODEL, C.ALL_POINTS_MODEL_VIT):
+            return self.reshape_to_cnn_input
+        if mt in (C.PER_WING_MODEL, C.TRAIN_ON_3_GOOD_CAMERAS_MODEL, C.ALL_CAMS):
+            return self.do_reshape_per_wing
+        if mt in (
+            C.MODEL_18_POINTS_PER_WING,
+            C.MODEL_18_POINTS_3_GOOD_CAMERAS,
+            C.MODEL_18_POINTS_PER_WING_VIT,
+            C.GPTNET,
+        ):
+            return self.do_preprocess_18_pnts
+        if mt in (
+            C.ALL_CAMS_18_POINTS,
+            C.ALL_CAMS_DISENTANGLED_PER_WING_VIT,
+            C.ALL_CAMS_DISENTANGLED_PER_WING_CNN,
+            C.ALL_CAMS_18_POINTS_VIT,
+        ):
+            return self.reshape_for_all_cams_18_points
+        if mt == C.BODY_PARTS_MODEL:
+            return self.reshape_to_body_parts
+        # Safe default: per-wing reshape (covers the remaining per-wing types).
+        return self.do_reshape_per_wing
+
+    # -- split_per_wing ------------------------------------------------------
+    def split_per_wing(
+        self,
+        box: np.ndarray,
+        confmaps: np.ndarray,
+        model_type: str,
+        trainset_type: str,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Pair each wing's mask with its keypoint set, swapping masks when the
+        decoded peaks land outside both (pytorch/preprocessor.py:151-269),
+        vectorised over (frames, cams).
+
+        Note the deliberate reference cross-wiring: the LEFT_INDEXES confmap
+        channels pair with the *right* wing and vice versa
+        (pytorch/preprocessor.py:161-162).
+        """
+        num_joints = confmaps.shape[-1]
+        half = num_joints // 2
+        left_idx = np.arange(0, half)
+        right_idx = np.arange(half, num_joints)
+
+        left_box = box[..., self.fly_with_left_mask]  # (F, C, H, W, T+1)
+        right_box = box[..., self.fly_with_right_mask]
+        right_cm = confmaps[..., left_idx]  # cross-wired on purpose
+        left_cm = confmaps[..., right_idx]
+
+        nf, nc, h, w, _ = box.shape
+        # peaks: (F*C, 2, P) int
+        lp = find_peaks_np(left_cm.reshape(nf * nc, h, w, half))
+        rp = find_peaks_np(right_cm.reshape(nf * nc, h, w, half))
+
+        lmask = left_box[..., -1].reshape(nf * nc, h, w)
+        rmask = right_box[..., -1].reshape(nf * nc, h, w)
+
+        def mask_vals(masks, peaks):
+            # sum of mask values at the P peak locations, per sample
+            flat = masks.reshape(masks.shape[0], -1)
+            lin = peaks[:, 1, :] * w + peaks[:, 0, :]
+            return np.take_along_axis(flat, lin, axis=1).sum(axis=1)
+
+        left_values = mask_vals(lmask, lp)
+        right_values = mask_vals(rmask, rp)
+        swap = (left_values < MIN_IN_MASK) & (right_values < MIN_IN_MASK)
+        swap_grid = swap.reshape(nf, nc)
+
+        new_left_box = left_box.copy()
+        new_right_box = right_box.copy()
+        # fly image channels are shared; swap only the mask channels
+        lm = left_box[..., -1]
+        rm = right_box[..., -1]
+        new_left_box[..., -1] = np.where(swap_grid[..., None, None], rm, lm)
+        new_right_box[..., -1] = np.where(swap_grid[..., None, None], lm, rm)
+        new_left_cm = left_cm
+        new_right_cm = right_cm
+
+        # save originals: left box (T+1 ch) + right mask (pytorch:244-247)
+        self.box_orig = np.concatenate(
+            [new_left_box, new_right_box[..., -1:]], axis=-1
+        )
+        self.confmaps_orig = np.concatenate([new_left_cm, new_right_cm], axis=-1)
+
+        if model_type == C.PER_WING_MODEL:
+            box_out = np.concatenate((new_left_box, new_right_box), axis=0)
+            cm_out = np.concatenate((new_left_cm, new_right_cm), axis=0)
+            return box_out, cm_out
+
+        if model_type == C.ALL_POINTS_MODEL:
+            box = box.copy()
+            confmaps = confmaps.copy()
+            box[..., self.left_mask_ind] = new_left_box[..., -1]
+            box[..., self.right_mask_ind] = new_right_box[..., -1]
+            confmaps[..., left_idx] = new_left_cm
+            confmaps[..., right_idx] = new_right_cm
+            return box, confmaps
+
+        return box, confmaps
+
+    # -- mask repair ---------------------------------------------------------
+    def fix_movie_masks(self, box: np.ndarray) -> tuple[np.ndarray, list]:
+        """Fill empty wing masks from +-5 neighbouring frames
+        (pytorch/preprocessor.py:348-388)."""
+        search_range = 5
+        nf = box.shape[0]
+        problematic = []
+        for frame in range(nf):
+            for cam in range(box.shape[1]):
+                for mask_num in range(2):
+                    ch = self.num_time_channels + mask_num
+                    mask = box[frame, cam, :, :, ch]
+                    if not np.all(mask == 0):
+                        continue
+                    problematic.append((frame, cam, mask_num))
+                    prev_mask = np.zeros_like(mask)
+                    next_mask = np.zeros_like(mask)
+                    for pf in range(frame - 1, max(0, frame - search_range - 1), -1):
+                        cand = box[pf, cam, :, :, ch]
+                        if not np.all(cand == 0):
+                            prev_mask = cand
+                            break
+                    for nf_i in range(frame + 1, min(nf, frame + search_range)):
+                        cand = box[nf_i, cam, :, :, ch]
+                        if not np.all(cand == 0):
+                            next_mask = cand
+                            break
+                    new_mask = prev_mask + next_mask
+                    new_mask[new_mask >= 1] = 1
+                    box[frame, cam, :, :, ch] = new_mask
+        return box, problematic
+
+    # -- camera ranking ------------------------------------------------------
+    @staticmethod
+    def take_n_good_cameras(
+        box: np.ndarray, confmaps: np.ndarray, n: int, wing_size_rank: int = 3
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Keep the n cameras with the largest wing masks per frame
+        (pytorch/preprocessor.py:427-452), vectorised."""
+        wing_sizes = np.count_nonzero(box[..., -1], axis=(2, 3))  # (F, C)
+        order = np.argsort(-wing_sizes, axis=1, kind="stable")
+        d_inds = order[:, wing_size_rank]
+        best = np.sort(order[:, :n], axis=1)  # (F, n)
+        f_idx = np.arange(box.shape[0])[:, None]
+        new_box = box[f_idx, best]
+        new_cm = confmaps[f_idx, best]
+        small_box = box[np.arange(box.shape[0]), d_inds]
+        small_cm = confmaps[np.arange(box.shape[0]), d_inds]
+        return new_box, new_cm, small_box, small_cm, d_inds.astype(int)
+
+    # -- model-type preprocess paths ------------------------------------------
+    def _adjust_masks_per_wing(self) -> None:
+        """(F, C, H, W, T+1) boxes: clean the single mask channel
+        (pytorch/preprocessor.py:417-424), batched."""
+        self.box[..., -1] = adjust_mask_np(self.box[..., -1], self.mask_dilation)
+
+    def do_preprocess_18_pnts(self) -> None:
+        """MODEL_18_POINTS_PER_WING path (pytorch/preprocessor.py:590-610)."""
+        head_tail = self.confmaps[..., -2:]
+        nf = head_tail.shape[0]
+        wings_cm = self.confmaps[..., :-2]
+        self.box, wings_cm = self.split_per_wing(
+            self.box, wings_cm, C.PER_WING_MODEL, C.RANDOM_TRAIN_SET
+        )
+        left_cm = np.concatenate((wings_cm[:nf], head_tail), axis=-1)
+        right_cm = np.concatenate((wings_cm[nf:], head_tail), axis=-1)
+        self.confmaps = np.concatenate((left_cm, right_cm), axis=0)
+        self._adjust_masks_per_wing()
+        if self.model_type == C.MODEL_18_POINTS_3_GOOD_CAMERAS:
+            self.box, self.confmaps, _, _, _ = self.take_n_good_cameras(
+                self.box, self.confmaps, 3
+            )
+        self.box = self.box.reshape((-1,) + self.box.shape[2:])
+        self.confmaps = self.confmaps.reshape((-1,) + self.confmaps.shape[2:])
+        self.num_samples = self.box.shape[0]
+
+    def reshape_for_all_cams_18_points(self) -> None:
+        """ALL_CAMS_18_POINTS / disentangled path
+        (pytorch/preprocessor.py:454-476)."""
+        num_cams = self.box.shape[1]
+        head_tail = self.confmaps[..., -2:]
+        nf = head_tail.shape[0]
+        wings_cm = self.confmaps[..., :-2]
+        self.box, wings_cm = self.split_per_wing(
+            self.box, wings_cm, C.PER_WING_MODEL, C.RANDOM_TRAIN_SET
+        )
+        left_cm = np.concatenate((wings_cm[:nf], head_tail), axis=-1)
+        right_cm = np.concatenate((wings_cm[nf:], head_tail), axis=-1)
+        self.confmaps = np.concatenate((left_cm, right_cm), axis=0)
+        self.confmaps_orig = np.concatenate(
+            (self.confmaps_orig, head_tail), axis=-1
+        )
+        self._adjust_masks_per_wing()
+        # concat cameras on channels: (2F, cams, H, W, ch) -> (2F, H, W, cams*ch)
+        self.box = np.concatenate(
+            [self.box[:, cam] for cam in range(num_cams)], axis=-1
+        )
+        self.confmaps = np.concatenate(
+            [self.confmaps[:, cam] for cam in range(num_cams)], axis=-1
+        )
+        self.num_samples = self.box.shape[0]
+
+    def reshape_to_cnn_input(self) -> None:
+        """ALL_POINTS path (pytorch/preprocessor.py:404-415)."""
+        head_tail = self.confmaps[..., -2:]
+        wings_cm = self.confmaps[..., :-2]
+        self.box, wings_cm = self.split_per_wing(
+            self.box, wings_cm, C.ALL_POINTS_MODEL, C.RANDOM_TRAIN_SET
+        )
+        self.confmaps = np.concatenate((wings_cm, head_tail), axis=-1)
+        self.box = self.box.reshape((-1,) + self.box.shape[2:])
+        self.confmaps = self.confmaps.reshape((-1,) + self.confmaps.shape[2:])
+        self.num_samples = self.box.shape[0]
+        # clean both mask channels (pytorch/preprocessor.py:395-402)
+        self.box[..., self.left_mask_ind] = adjust_mask_np(
+            self.box[..., self.left_mask_ind], self.mask_dilation
+        )
+        self.box[..., self.right_mask_ind] = adjust_mask_np(
+            self.box[..., self.right_mask_ind], self.mask_dilation
+        )
+
+    def do_reshape_per_wing(self) -> None:
+        """PER_WING / 3-good-cams / ALL_CAMS path
+        (pytorch/preprocessor.py:499-528)."""
+        self.box, self.confmaps = self.split_per_wing(
+            self.box, self.confmaps, C.PER_WING_MODEL, C.RANDOM_TRAIN_SET
+        )
+        self._adjust_masks_per_wing()
+        if self.model_type == C.TRAIN_ON_3_GOOD_CAMERAS_MODEL:
+            self.box, self.confmaps, _, _, _ = self.take_n_good_cameras(
+                self.box, self.confmaps, 3
+            )
+        if self.model_type == C.ALL_CAMS:
+            self.box, self.confmaps, _, _, _ = self.take_n_good_cameras(
+                self.box, self.confmaps, 4
+            )
+            num_cams = self.box.shape[1]
+            self.box = np.concatenate(
+                [self.box[:, c] for c in range(num_cams)], axis=-1
+            )
+            self.confmaps = np.concatenate(
+                [self.confmaps[:, c] for c in range(num_cams)], axis=-1
+            )
+            self.num_samples = self.box.shape[0]
+            return
+        self.box = self.box.reshape((-1,) + self.box.shape[2:])
+        self.confmaps = self.confmaps.reshape((-1,) + self.confmaps.shape[2:])
+        self.num_samples = self.box.shape[0]
+        if self.cfg.do_curriculum_learning:
+            self.sort_by_wing_size()
+
+    def sort_by_wing_size(self) -> None:
+        """Curriculum ordering: big wings first
+        (pytorch/preprocessor.py:530-536)."""
+        key = -np.count_nonzero(
+            np.logical_and(self.box[..., 3], self.box[..., 1]), axis=(1, 2)
+        )
+        order = np.argsort(key, kind="stable")
+        self.box = self.box[order]
+        self.confmaps = self.confmaps[order]
+
+    def reshape_to_body_parts(self) -> None:
+        """Match left/right body-part masks to their peaks via distance
+        transform (pytorch/preprocessor.py:551-588)."""
+        from scipy.ndimage import distance_transform_edt
+
+        box = self.box.reshape((-1,) + self.box.shape[-3:])
+        cm = self.confmaps.reshape((-1,) + self.confmaps.shape[-3:])
+        peaks = find_peaks_np(cm)  # (N, 2, P)
+        left, right = 1, 2
+        for img in range(box.shape[0]):
+            lmask = box[img, :, :, 2 + left]
+            rmask = box[img, :, :, 2 + right]
+            lpk = peaks[img, :, 0].astype(int)
+            rpk = peaks[img, :, 1].astype(int)
+
+            def dist(pt, mask):
+                dt = distance_transform_edt(np.logical_not(mask).astype(int))
+                return dt[pt[1], pt[0]]
+
+            if dist(rpk, rmask) > dist(lpk, rmask) and dist(lpk, lmask) > dist(
+                rpk, lmask
+            ):
+                box[img, :, :, 2 + left] = rmask
+                box[img, :, :, 2 + right] = lmask
+        self.box, self.confmaps = box, cm
+        self.num_samples = box.shape[0]
+
+    # -- 3D consistency ------------------------------------------------------
+    def ensure_right_left_consistency(self, points_2d_all: np.ndarray) -> np.ndarray:
+        """Score all 8 flip combinations of cameras 1-3 by multi-view
+        reprojection error and return the best flip mask per frame
+        (pytorch/preprocessor.py:271-303) — on-device scoring via
+        ops.geometry.reprojection_error_score.
+        """
+        import jax.numpy as jnp
+
+        from ..ops.geometry import reprojection_error_score
+
+        cams_to_check = np.array([1, 2, 3])
+        num_wing = len(self.left_inds)
+        best_flips = np.zeros((self.num_frames, 3), bool)
+        for frame in range(self.num_frames):
+            scores = np.zeros(len(WHICH_TO_FLIP))
+            for i, option in enumerate(WHICH_TO_FLIP):
+                pts = points_2d_all[frame].copy()
+                for cam in cams_to_check[option]:
+                    l = pts[cam, self.left_inds].copy()
+                    pts[cam, self.left_inds] = pts[cam, self.right_inds]
+                    pts[cam, self.right_inds] = l
+                scores[i] = float(
+                    reprojection_error_score(
+                        jnp.asarray(pts),
+                        jnp.asarray(self.cropzone[frame]),
+                        jnp.asarray(self.camera_matrices),
+                    )
+                )
+            best_flips[frame] = WHICH_TO_FLIP[np.argmin(scores)]
+        return best_flips

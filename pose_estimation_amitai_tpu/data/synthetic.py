@@ -1,0 +1,184 @@
+"""Synthetic dataset generator matching the H5 contract.
+
+The reference trains from an HDF5 file with datasets ``box``, ``confmaps``,
+``points_3D``, ``cropZone`` and ``cameras_dlt_array`` (SURVEY: problem
+statement; reference loaders at pytorch/preprocessor.py:102-118, 56-62,
+pytorch/Datagenerators.py:235). The real dataset is lab-internal, so the
+framework ships a synthetic generator producing the same shapes/dtypes and
+internally consistent geometry (3D points that actually project into the
+crops through the DLT cameras), making every downstream layer testable
+without the real file (SURVEY §7 layer 1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..constants import IMAGE_SIZE, NUM_CAMERAS, SENSOR_HEIGHT
+
+
+def _synthetic_cameras(rng: np.random.Generator) -> np.ndarray:
+    """Four plausible K[R|t] cameras ringed around the origin, (4, 3, 4)."""
+    cams = []
+    for i in range(NUM_CAMERAS):
+        f = 14000.0 + rng.uniform(-500, 500)
+        K = np.array(
+            [[f, 0.0, 400.0], [0.0, f, 400.0], [0.0, 0.0, 1.0]]
+        )
+        theta = i * np.pi / 2 + rng.uniform(-0.2, 0.2)
+        phi = 0.5 + rng.uniform(-0.1, 0.1)
+        Rz = np.array(
+            [
+                [np.cos(theta), -np.sin(theta), 0.0],
+                [np.sin(theta), np.cos(theta), 0.0],
+                [0.0, 0.0, 1.0],
+            ]
+        )
+        Rx = np.array(
+            [
+                [1.0, 0.0, 0.0],
+                [0.0, np.cos(phi), -np.sin(phi)],
+                [0.0, np.sin(phi), np.cos(phi)],
+            ]
+        )
+        R = Rx @ Rz
+        t = np.array([[0.0], [0.0], [3.0]])
+        cams.append(K @ np.hstack([R, t]))
+    return np.stack(cams)
+
+
+def _ellipse_mask(h, w, cy, cx, ry, rx, angle) -> np.ndarray:
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    ys = ys - cy
+    xs = xs - cx
+    ca, sa = np.cos(angle), np.sin(angle)
+    u = ca * xs + sa * ys
+    v = -sa * xs + ca * ys
+    return ((u / rx) ** 2 + (v / ry) ** 2 <= 1.0).astype(np.float32)
+
+
+def _gaussian(h, w, cy, cx, sigma=3.0) -> np.ndarray:
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    d2 = (ys - cy) ** 2 + (xs - cx) ** 2
+    return np.exp(-d2 / (2.0 * sigma**2)).astype(np.float32)
+
+
+def make_synthetic_arrays(
+    num_frames: int = 16,
+    num_points: int = 16,  # wing points total (half per wing) + 2 head/tail
+    image_size: int = IMAGE_SIZE,
+    num_time_channels: int = 3,
+    sigma: float = 3.0,
+    seed: int = 0,
+) -> dict[str, np.ndarray]:
+    """Build the five H5-contract arrays.
+
+    Returns dict with H5-layout arrays (pre-transpose, matching what
+    ``h5py.File(...)[k][:]`` yields for the real file after the loader's
+    ``.T`` fixups — we produce the post-fixup canonical layouts directly and
+    also provide transposed variants via :func:`write_synthetic_h5`):
+
+    * box: (frames, cams, H, W, T+2) float32 in [0, 1]
+    * confmaps: (frames, cams, H, W, num_points + 2)
+    * points_3D: (frames, num_points + 2, 3)
+    * cropZone: (frames, cams, 2) int [y, x]
+    * cameras_dlt_array: (cams, 3, 4)
+    """
+    rng = np.random.default_rng(seed)
+    h = w = image_size
+    cams = _synthetic_cameras(rng)
+    n_all = num_points + 2
+
+    box = np.zeros((num_frames, NUM_CAMERAS, h, w, num_time_channels + 2), np.float32)
+    confmaps = np.zeros((num_frames, NUM_CAMERAS, h, w, n_all), np.float32)
+    points_3d = np.zeros((num_frames, n_all, 3), np.float32)
+    cropzone = np.zeros((num_frames, NUM_CAMERAS, 2), np.int32)
+
+    half = num_points // 2
+    for f in range(num_frames):
+        # a fly: body at origin-ish, two wings as 3D point clusters
+        body = rng.uniform(-0.002, 0.002, 3)
+        wing_pts = []
+        for side in (-1, 1):
+            base = body + np.array([0.0, side * 0.006, 0.0])
+            pts = base + rng.uniform(-0.004, 0.004, (half, 3))
+            wing_pts.append(pts)
+        head = body + np.array([0.008, 0.0, 0.0])
+        tail = body - np.array([0.008, 0.0, 0.0])
+        pts3d = np.concatenate([wing_pts[0], wing_pts[1], [head], [tail]])
+        points_3d[f] = pts3d
+
+        ph = np.concatenate([pts3d, np.ones((n_all, 1))], axis=1)
+        for c in range(NUM_CAMERAS):
+            proj = ph @ cams[c].T
+            xy = proj[:, :2] / proj[:, 2:3]  # full-sensor coords
+            # crop centred on the fly
+            cx = int(np.clip(np.mean(xy[:, 0]) - w / 2, 0, 2 * SENSOR_HEIGHT))
+            y_sensor = np.mean(xy[:, 1])
+            # crop-local y derives from: y_local = (SENSOR_HEIGHT+1-y) - y_crop
+            y_crop = int(np.clip(SENSOR_HEIGHT + 1 - y_sensor - h / 2, 0, SENSOR_HEIGHT))
+            cropzone[f, c] = (y_crop, cx)
+            x_local = xy[:, 0] - cx
+            y_local = (SENSOR_HEIGHT + 1 - xy[:, 1]) - y_crop
+
+            for p in range(n_all):
+                confmaps[f, c, :, :, p] = _gaussian(
+                    h, w, y_local[p], x_local[p], sigma
+                )
+            # time channels: blurry fly blob at 3 nearby times
+            body_y = np.mean(y_local)
+            body_x = np.mean(x_local)
+            for t in range(num_time_channels):
+                jitter = (t - num_time_channels // 2) * 1.5
+                blob = _gaussian(h, w, body_y + jitter, body_x + jitter, 14.0)
+                box[f, c, :, :, t] = np.clip(blob, 0, 1)
+            # wing masks: ellipses covering each wing's peaks
+            for wi in range(2):
+                sl = slice(wi * half, (wi + 1) * half)
+                wy, wx = np.mean(y_local[sl]), np.mean(x_local[sl])
+                ry = max(np.ptp(y_local[sl]) / 2 + 8, 10)
+                rx = max(np.ptp(x_local[sl]) / 2 + 8, 10)
+                box[f, c, :, :, num_time_channels + wi] = _ellipse_mask(
+                    h, w, wy, wx, ry, rx, rng.uniform(0, np.pi)
+                )
+
+    return {
+        "box": box,
+        "confmaps": confmaps,
+        "points_3D": points_3d,
+        "cropZone": cropzone,
+        "cameras_dlt_array": cams.astype(np.float32),
+    }
+
+
+def write_synthetic_h5(
+    path: str,
+    num_frames: int = 16,
+    num_points: int = 16,
+    seed: int = 0,
+    **kw,
+) -> str:
+    """Write a synthetic dataset to ``path`` in the reference's H5 layout.
+
+    The real file stores arrays transposed relative to the canonical layout
+    (the loader transposes back: pytorch/preprocessor.py:110-118 + the
+    ``cameras_dlt_array[:].T`` at :54 and ``points_3D`` permute at :60-62);
+    we write the transposed forms so the loading code paths are exercised.
+    """
+    import h5py
+
+    arrs = make_synthetic_arrays(num_frames, num_points, seed=seed, **kw)
+    with h5py.File(path, "w") as f:
+        # loader does X.T when shape[0] not in (2-ish); store transposed.
+        f.create_dataset("box", data=arrs["box"].T)
+        f.create_dataset("confmaps", data=arrs["confmaps"].T)
+        # loader: np.transpose(points_3D, [1, 2, 0]) -> store as (3, frames, pts).T?
+        # retrieve_points_3D does transpose([1,2,0]) on raw: raw (a,b,c) ->
+        # (b,c,a); we want (frames, pts, 3), so store raw = (3, frames, pts).
+        f.create_dataset(
+            "points_3D", data=np.transpose(arrs["points_3D"], (2, 0, 1))
+        )
+        f.create_dataset("cropZone", data=arrs["cropZone"])
+        # loader: h5["cameras_dlt_array"][:].T -> (4,3,4); store (4,3,4).T
+        f.create_dataset("cameras_dlt_array", data=arrs["cameras_dlt_array"].T)
+    return path

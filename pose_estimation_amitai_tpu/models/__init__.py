@@ -1,0 +1,112 @@
+"""Model registry: reference model-type strings -> flax modules.
+
+Mirrors both reference dispatchers (tensorflow/Network.py:42-61
+``config_model`` and pytorch/Network.py:15-26) so reference
+``train_config.json`` files select the same architectures here. Unknown model
+types fall through to ``BasicNet``, matching the TF dispatcher's ``else``
+branch (tensorflow/Network.py:59-60).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .. import constants as C
+from ..config import Config
+from .cnn import BasicNet, C2FPerWing, CoarsePerWing, TwoWingsNet
+from .disentangled import FourCamDisentangled
+from .multicam import MultiCamNet
+from .resnet import ResNetHeatmapNet
+from .vit import ViT4Cameras, ViTPoseNet
+
+__all__ = [
+    "BasicNet", "CoarsePerWing", "C2FPerWing", "TwoWingsNet", "MultiCamNet",
+    "FourCamDisentangled", "ResNetHeatmapNet", "ViTPoseNet", "ViT4Cameras",
+    "build_model", "needs_camera_matrices",
+]
+
+_VIT_SINGLE = {
+    C.MODEL_18_POINTS_PER_WING_VIT,
+    C.ALL_POINTS_MODEL_VIT,
+    C.MODEL_18_POINTS_3_GOOD_CAMERAS_VIT,
+    C.MODEL_18_POINTS_PER_WING_VIT_TO_POINTS,
+}
+_VIT_4CAM = {C.ALL_CAMS_18_POINTS_VIT, C.ALL_CAMS_VIT, C.VIT_4_CAMERAS}
+_MULTICAM_4 = {C.ALL_CAMS, C.ALL_CAMS_18_POINTS, C.ALL_CAMS_ALL_POINTS,
+               C.HEAD_TAIL_ALL_CAMS}
+_DISENTANGLED = {
+    C.ALL_CAMS_DISENTANGLED_PER_WING_CNN,
+    C.ALL_CAMS_DISENTANGLED_PER_WING_VIT,
+}
+
+
+def needs_camera_matrices(model_type: str) -> bool:
+    """True for models whose forward takes (x, P, P_inv) batch inputs."""
+    return model_type in _DISENTANGLED
+
+
+def build_model(
+    cfg: Config, image_size: tuple[int, ...], num_output_channels: int
+) -> nn.Module:
+    """Construct the model for ``cfg.model_type``.
+
+    Args:
+      cfg: typed config (``arch_flavor`` pins TF vs PyTorch parity details).
+      image_size: (H, W, C) of the preprocessed input.
+      num_output_channels: confmap channel count of the preprocessed targets.
+    """
+    mt = cfg.model_type
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    cnn_kw: dict[str, Any] = dict(
+        out_channels=num_output_channels,
+        filters=cfg.num_base_filters,
+        kernel_size=cfg.kernel_size,
+        dilation=cfg.dilation_rate,
+        dropout=cfg.dropout_ratio,
+        num_blocks=cfg.num_blocks,
+        flavor=cfg.arch_flavor,
+        dtype=dtype,
+    )
+    # pytorch/VITs.py:212: dim_head = projection_dim if config["dim head"] else 64
+    dim_head = cfg.projection_dim if cfg.dim_head else 64
+    vit_kw: dict[str, Any] = dict(
+        out_channels=num_output_channels,
+        patch_size=cfg.patch_size,
+        dim=cfg.projection_dim,
+        depth=cfg.transformer_layers,
+        heads=cfg.num_heads,
+        dim_head=dim_head,
+        mlp_expand=cfg.fully_connected_expand,
+        kernel_size=cfg.kernel_size,
+        dtype=dtype,
+    )
+
+    if mt in _MULTICAM_4:
+        return MultiCamNet(num_cams=4, do_attention=cfg.do_attention, **cnn_kw)
+    if mt == C.ALL_CAMS_AND_3_GOOD_CAMS:
+        return MultiCamNet(num_cams=3, do_attention=cfg.do_attention, **cnn_kw)
+    if mt == C.TWO_WINGS_TOGATHER:
+        return TwoWingsNet(**cnn_kw)
+    if mt == C.C2F_PER_WING:
+        return C2FPerWing(**cnn_kw)
+    if mt == C.COARSE_PER_WING:
+        kw = dict(cnn_kw)
+        kw.pop("num_blocks", None)
+        kw.pop("flavor", None)
+        return CoarsePerWing(**kw)
+    if mt in _VIT_SINGLE:
+        return ViTPoseNet(flavor=cfg.arch_flavor, **vit_kw)
+    if mt in _VIT_4CAM:
+        return ViT4Cameras(**vit_kw)
+    if mt in _DISENTANGLED:
+        return FourCamDisentangled(**cnn_kw)
+    if mt == C.RESNET_18_POINTS_PER_WING:
+        return ResNetHeatmapNet(
+            out_channels=num_output_channels, kernel_size=cfg.kernel_size,
+            dtype=dtype,
+        )
+    # default: per-wing basic encoder-decoder (tensorflow/Network.py:59-60)
+    return BasicNet(**cnn_kw)

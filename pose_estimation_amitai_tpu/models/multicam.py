@@ -1,0 +1,101 @@
+"""Multi-camera CNN fusion models.
+
+Re-designs of the reference's shared-encoder camera-fusion family:
+
+* ``FourCamerasBaseLine`` — shared encoder per view, 1x1-conv fused latent
+  with residual, shared decoder per view (reference: pytorch/CNNs.py:189-237)
+* TF ``all_4_cams`` / ``all_3_cams`` / ``head_tail_all_cams`` — shared
+  encoder, latent concat (optionally through a self-attention fusion layer),
+  shared decoder on concat(enc_i, merged)
+  (reference: tensorflow/Network.py:74-125, 245-305, 321-375; the attention
+  fusion layer at :307-319)
+
+One module covers the whole family: ``num_cams`` views of ``C/num_cams``
+channels each, with flavour-dependent fusion.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import DecoderUp, EncoderAtrous
+
+Dtype = Any
+
+
+class LatentSelfAttention(nn.Module):
+    """Self-attention over flattened latent pixels with residual.
+
+    Reference: tensorflow/Network.py:307-319 (``self_attention_layer``):
+    reshape (h, w, c) -> (h*w, c), MHA, reshape back, add.
+    """
+
+    num_heads: int = 8
+    key_dim: int = 64
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        seq = x.reshape(b, h * w, c)
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, qkv_features=self.num_heads * self.key_dim,
+            out_features=c, dtype=self.dtype, param_dtype=jnp.float32,
+            name="mha",
+        )(seq, seq)
+        return x + attn.reshape(b, h, w, c)
+
+
+class MultiCamNet(nn.Module):
+    """Shared per-camera encoder + latent fusion + shared per-camera decoder.
+
+    flavor='torch' (pytorch/CNNs.py:189-237): fused = 1x1conv(concat) + concat
+    residual; decoder input = concat(enc_i, fused) (5x latent width).
+    flavor='tf' (tensorflow/Network.py:321-375): fused = concat (optionally
+    self-attended); decoder input = concat(enc_i, fused).
+    """
+
+    out_channels: int  # total over all cameras
+    num_cams: int = 4
+    filters: int = 64
+    kernel_size: int = 3
+    dilation: int = 2
+    dropout: float = 0.5
+    num_blocks: int = 2
+    flavor: str = "torch"
+    do_attention: bool = False
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        cc = x.shape[-1] // self.num_cams
+        views = [x[..., i * cc : (i + 1) * cc] for i in range(self.num_cams)]
+
+        encoder = EncoderAtrous(
+            self.filters, self.kernel_size, self.dilation, self.dropout,
+            self.num_blocks, self.flavor, self.dtype, name="shared_encoder",
+        )
+        encs = [encoder(v, train=train) for v in views]
+        merged = jnp.concatenate(encs, axis=-1)
+
+        if self.flavor == "torch":
+            fused = nn.Conv(
+                merged.shape[-1], (1, 1), padding="VALID", dtype=self.dtype,
+                param_dtype=jnp.float32, name="fusion_conv",
+            )(merged) + merged
+        else:
+            fused = merged
+            if self.do_attention:
+                fused = LatentSelfAttention(dtype=self.dtype, name="fusion_attn")(
+                    fused
+                )
+
+        decoder = DecoderUp(
+            self.out_channels // self.num_cams, self.filters, self.kernel_size,
+            self.num_blocks, self.flavor, self.dtype, name="shared_decoder",
+        )
+        outs = [decoder(jnp.concatenate([e, fused], axis=-1)) for e in encs]
+        return jnp.concatenate(outs, axis=-1).astype(jnp.float32)

@@ -1,0 +1,279 @@
+"""ViT heatmap models: ViT encoder + CNN decoder, 4-camera cross-attention ViT.
+
+Re-designs of the reference ViT family:
+
+* ``CustomViT`` patch-unfold + linear embed + learned pos-emb + pre-LN
+  transformer (reference: pytorch/pytorch_vit_encoder.py:12-149)
+* ``CNN_Decoder`` tokens -> (12, 12, dim) grid -> 4 stride-2 deconvs ->
+  global min-max normalisation (reference: pytorch/VITs.py:13-58)
+* ``VIT_encoder_CNN_decoder`` (reference: pytorch/VITs.py:197-229),
+  the ``MODEL_18_POINTS_PER_WING_VIT`` dispatch target
+* TF ``vision_transformer`` post-LN flavour with a channel-halving deconv
+  reconstruction head (reference: tensorflow/vitPose.py:63-130)
+* ``VIT4CamerasBaseLine`` shared encoder + cross-attention fusion over the
+  concatenated per-camera tokens (reference: pytorch/VITs.py:235-306)
+
+TPU-first choices: patch embedding is a strided conv (identical math to
+unfold+matmul, but XLA lowers it straight onto the MXU); attention is fused
+einsum in bf16 with f32 softmax accumulation; sequence length is 144 tokens
+(192/16)^2, so no context-parallel machinery is needed (SURVEY §5).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import TF_ALPHA, TORCH_ALPHA, leaky
+
+Dtype = Any
+
+
+class Attention(nn.Module):
+    """Pre-LN multi-head self-attention with fused qkv.
+
+    Reference: pytorch/pytorch_vit_encoder.py:31-78 (LN -> qkv (no bias) ->
+    scaled dot-product -> out projection).
+    """
+
+    dim: int
+    heads: int = 8
+    dim_head: int = 64
+    dropout: float = 0.0
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        inner = self.dim_head * self.heads
+        y = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
+        qkv = nn.Dense(inner * 3, use_bias=False, dtype=self.dtype,
+                       param_dtype=jnp.float32, name="to_qkv")(y)
+        b, n, _ = qkv.shape
+        qkv = qkv.reshape(b, n, 3, self.heads, self.dim_head)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, D)
+        scale = self.dim_head**-0.5
+        logits = jnp.einsum("bnhd,bmhd->bhnm", q, k).astype(jnp.float32) * scale
+        attn = nn.softmax(logits, axis=-1).astype(self.dtype)
+        attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, inner)
+        return nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
+                        name="to_out")(out)
+
+
+class FeedForward(nn.Module):
+    """LN -> Dense -> GELU -> Dense (reference: pytorch_vit_encoder.py:12-28)."""
+
+    dim: int
+    hidden_dim: int
+    dropout: float = 0.0
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        y = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
+        y = nn.Dense(self.hidden_dim, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="fc1")(y)
+        y = nn.gelu(y)
+        y = nn.Dropout(self.dropout, deterministic=not train)(y)
+        y = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="fc2")(y)
+        return nn.Dropout(self.dropout, deterministic=not train)(y)
+
+
+class Transformer(nn.Module):
+    """Pre-LN transformer stack with trailing LayerNorm.
+
+    Reference: pytorch/pytorch_vit_encoder.py:81-105.
+    """
+
+    dim: int
+    depth: int
+    heads: int
+    dim_head: int
+    mlp_dim: int
+    dropout: float = 0.0
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        for i in range(self.depth):
+            x = Attention(self.dim, self.heads, self.dim_head, self.dropout,
+                          self.dtype, name=f"attn{i}")(x, train=train) + x
+            x = FeedForward(self.dim, self.mlp_dim, self.dropout, self.dtype,
+                            name=f"ff{i}")(x, train=train) + x
+        return nn.LayerNorm(dtype=jnp.float32, name="final_norm")(x)
+
+
+class PatchEmbed(nn.Module):
+    """Strided-conv patch embedding + learned positional embedding.
+
+    Identical math to the reference's unfold + linear embedding
+    (pytorch/pytorch_vit_encoder.py:131-144, tensorflow/vitPose.py:6-60), but
+    expressed as a conv so XLA tiles it onto the MXU directly.
+    """
+
+    dim: int
+    patch_size: int = 16
+    post_norm: bool = True  # torch flavour LayerNorms the embedding
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        p = self.patch_size
+        y = nn.Conv(self.dim, (p, p), strides=(p, p), padding="VALID",
+                    dtype=self.dtype, param_dtype=jnp.float32, name="proj")(
+            x.astype(self.dtype)
+        )
+        n = (h // p) * (w // p)
+        y = y.reshape(b, n, self.dim)
+        if self.post_norm:
+            y = nn.LayerNorm(dtype=jnp.float32, name="embed_norm")(y)
+        pos = self.param(
+            "pos_embedding", nn.initializers.normal(1.0), (1, n, self.dim),
+            jnp.float32,
+        )
+        return (y + pos.astype(y.dtype)).astype(self.dtype)
+
+
+class CNNDecoderViT(nn.Module):
+    """Token grid -> heatmaps via 4 stride-2 deconvs.
+
+    flavor='torch': constant-width deconvs + global min-max normalisation
+    (pytorch/VITs.py:13-58). flavor='tf': channel-halving deconvs, no
+    normalisation (tensorflow/vitPose.py:82-96).
+    """
+
+    out_channels: int
+    dim: int
+    kernel_size: int = 3
+    flavor: str = "torch"
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, tokens: jnp.ndarray) -> jnp.ndarray:
+        b, n, d = tokens.shape
+        g = int(round(n**0.5))
+        x = tokens.reshape(b, g, g, d).astype(self.dtype)
+        alpha = TORCH_ALPHA if self.flavor == "torch" else TF_ALPHA
+
+        def deconv(feat, name):
+            return nn.ConvTranspose(
+                feat, (self.kernel_size, self.kernel_size), strides=(2, 2),
+                padding="SAME", dtype=self.dtype, param_dtype=jnp.float32,
+                name=name,
+            )
+
+        if self.flavor == "torch":
+            widths = (self.dim, self.dim, self.dim, self.out_channels)
+        else:
+            widths = (d // 2, d // 4, d // 8, self.out_channels)
+        for i, feat in enumerate(widths):
+            x = leaky(deconv(feat, f"deconv{i + 1}")(x), alpha)
+        x = x.astype(jnp.float32)
+        if self.flavor == "torch":
+            # global min-max normalisation — pytorch/VITs.py:55-58
+            x = (x - x.min()) / (x.max() - x.min() + 1e-12)
+        return x
+
+
+class ViTPoseNet(nn.Module):
+    """ViT encoder + CNN decoder heatmap model.
+
+    Reference: pytorch/VITs.py:197-229 (``VIT_encoder_CNN_decoder``) and the
+    TF ``vision_transformer`` (tensorflow/vitPose.py:100-130).
+    """
+
+    out_channels: int
+    patch_size: int = 16
+    dim: int = 256
+    depth: int = 8
+    heads: int = 8
+    dim_head: int = 64
+    mlp_expand: int = 4
+    kernel_size: int = 3
+    dropout: float = 0.0
+    flavor: str = "torch"
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        tokens = PatchEmbed(self.dim, self.patch_size,
+                            post_norm=self.flavor == "torch",
+                            dtype=self.dtype, name="patch_embed")(x)
+        tokens = Transformer(self.dim, self.depth, self.heads, self.dim_head,
+                             self.dim * self.mlp_expand, self.dropout,
+                             self.dtype, name="transformer")(tokens, train=train)
+        return CNNDecoderViT(self.out_channels, self.dim, self.kernel_size,
+                             self.flavor, self.dtype, name="decoder")(tokens)
+
+
+class CrossAttentionFuse(nn.Module):
+    """One cross-attention fusion block over concatenated camera tokens.
+
+    Reference: pytorch/VITs.py:235-249 — a depth-1 Transformer on the
+    (dim*5)-wide concat, then LN + Linear back to dim + GELU.
+    """
+
+    input_dim: int
+    output_dim: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        y = Transformer(self.input_dim, depth=1, heads=4,
+                        dim_head=self.output_dim, mlp_dim=self.output_dim,
+                        dtype=self.dtype, name="transformer")(x, train=train)
+        y = nn.LayerNorm(dtype=jnp.float32, name="norm")(y)
+        y = nn.Dense(self.output_dim, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="proj")(y)
+        return nn.gelu(y)
+
+
+class ViT4Cameras(nn.Module):
+    """Shared ViT encoder per camera + cross-attention fusion + shared decoder.
+
+    Reference: pytorch/VITs.py:252-306 (``VIT4CamerasBaseLine``). Input is
+    (B, H, W, 4*Cc): 4 camera views of Cc channels, concatenated on channels.
+    """
+
+    out_channels: int  # total over 4 cameras
+    patch_size: int = 16
+    dim: int = 256
+    depth: int = 8
+    heads: int = 8
+    dim_head: int = 64
+    mlp_expand: int = 4
+    kernel_size: int = 3
+    num_fuse_layers: int = 4
+    dropout: float = 0.0
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        num_cams = 4
+        cc = x.shape[-1] // num_cams
+        views = [x[..., i * cc : (i + 1) * cc] for i in range(num_cams)]
+
+        embed = PatchEmbed(self.dim, self.patch_size, dtype=self.dtype,
+                           name="patch_embed")
+        encoder = Transformer(self.dim, self.depth, self.heads, self.dim_head,
+                              self.dim * self.mlp_expand, self.dropout,
+                              self.dtype, name="shared_encoder")
+        encs = [encoder(embed(v), train=train) for v in views]
+        skips = list(encs)
+        merged = jnp.concatenate(encs, axis=-1)  # (B, N, 4*dim)
+        for i in range(self.num_fuse_layers):
+            fuse = CrossAttentionFuse(self.dim * 5, self.dim, self.dtype,
+                                      name=f"fuse{i}")
+            encs = [
+                fuse(jnp.concatenate([e, merged], axis=-1), train=train) + e
+                for e in encs
+            ]
+        decoder = CNNDecoderViT(self.out_channels // num_cams, self.dim,
+                                self.kernel_size, "torch", self.dtype,
+                                name="shared_decoder")
+        outs = [decoder(e + s) for e, s in zip(encs, skips)]
+        return jnp.concatenate(outs, axis=-1).astype(jnp.float32)

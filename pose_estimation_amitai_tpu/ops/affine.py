@@ -1,0 +1,235 @@
+"""Fused on-device affine augmentation.
+
+TPU-native replacement for the reference's per-sample, per-channel CPU
+augmentation loops (reference: pytorch/Augmentor.py:31-43 + :96-103 —
+flips / cv2 scale / scipy shift / scipy rotate, one channel at a time;
+tensorflow/Augmentor.py:63-110; torchvision ``F.affine`` at
+pytorch/Datagenerators.py:186-198). That per-channel Python loop is the
+dominant CPU cost of the reference's train step (SURVEY §3.1).
+
+Here the whole transform chain (flip -> scale -> shift -> rotate) is composed
+into ONE 3x3 matrix per sample, and image + confidence-map stacks are warped
+together in a single vmapped gather pass that XLA keeps entirely on device.
+Bilinear and cubic (Catmull-Rom, matching the reference's order-3/INTER_CUBIC
+flavour) interpolation are supported; out-of-bounds samples are zero
+(cv2 BORDER_CONSTANT 0 semantics, pytorch/Augmentor.py:21-22).
+
+Design note (SURVEY §7 hard part 1): the reference mixes three subtly
+different interpolators (scipy order-3 spline, PIL bicubic, cv2 INTER_CUBIC).
+We pin ONE resampling definition (Catmull-Rom for order>=2, bilinear
+otherwise) and accept pixel-level divergence on augmented samples while
+matching the transform *statistics*; parity checks run on un-augmented data.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class AugmentParams(NamedTuple):
+    """Per-sample augmentation parameters (each shaped (B,))."""
+
+    angle_deg: jax.Array
+    scale: jax.Array
+    shift_x: jax.Array
+    shift_y: jax.Array
+    flip_h: jax.Array  # bool
+    flip_v: jax.Array  # bool
+
+
+def sample_augment_params(
+    key: jax.Array,
+    batch: int,
+    rotation_range: float = 30.0,
+    xy_shifts: float = 10.0,
+    zoom_range: tuple[float, float] = (1.0, 1.0),
+    do_horizontal_flip: bool = True,
+    do_vertical_flip: bool = True,
+) -> AugmentParams:
+    """Draw per-sample augmentation parameters.
+
+    Distributions mirror the reference's sampling
+    (tensorflow/simple_data_generator.py:72-95, pytorch/Datagenerators.py:169-185):
+    uniform angle in +-rotation_range, uniform shifts in +-xy_shifts, uniform
+    scale in zoom_range, Bernoulli(0.5) flips gated by the config switches.
+    """
+    k_ang, k_sc, k_sx, k_sy, k_fh, k_fv = jax.random.split(key, 6)
+    angle = jax.random.uniform(
+        k_ang, (batch,), minval=-rotation_range, maxval=rotation_range
+    )
+    scale = jax.random.uniform(
+        k_sc, (batch,), minval=zoom_range[0], maxval=zoom_range[1]
+    )
+    shift_x = jax.random.uniform(k_sx, (batch,), minval=-xy_shifts, maxval=xy_shifts)
+    shift_y = jax.random.uniform(k_sy, (batch,), minval=-xy_shifts, maxval=xy_shifts)
+    flip_h = jax.random.bernoulli(k_fh, 0.5, (batch,)) & do_horizontal_flip
+    flip_v = jax.random.bernoulli(k_fv, 0.5, (batch,)) & do_vertical_flip
+    return AugmentParams(angle, scale, shift_x, shift_y, flip_h, flip_v)
+
+
+def make_affine_matrix(
+    params: AugmentParams, height: int, width: int
+) -> jax.Array:
+    """Compose the forward transform chain into per-sample 3x3 matrices.
+
+    Order matches ``Augmentor.augment`` (pytorch/Augmentor.py:32-43):
+    horizontal flip, vertical flip, scale about centre (cv2
+    getRotationMatrix2D semantics, :11-29), integer shift, rotation about
+    centre. Returns (B, 3, 3) forward matrices mapping input pixel
+    coordinates (x, y, 1) to output coordinates.
+    """
+    b = params.angle_deg.shape[0]
+    cx = (width - 1) / 2.0
+    cy = (height - 1) / 2.0
+    one = jnp.ones((b,))
+    zero = jnp.zeros((b,))
+
+    def mat(rows):
+        # rows: list of 3 lists of 3 (B,) arrays -> (B, 3, 3)
+        return jnp.stack([jnp.stack(r, axis=-1) for r in rows], axis=-2)
+
+    fh = params.flip_h.astype(jnp.float32)
+    fv = params.flip_v.astype(jnp.float32)
+    # flip: x' = flip ? (W-1) - x : x
+    flip = mat(
+        [
+            [1.0 - 2.0 * fh, zero, fh * (width - 1)],
+            [zero, 1.0 - 2.0 * fv, fv * (height - 1)],
+            [zero, zero, one],
+        ]
+    )
+    s = params.scale
+    scale = mat(
+        [
+            [s, zero, cx * (1.0 - s)],
+            [zero, s, cy * (1.0 - s)],
+            [zero, zero, one],
+        ]
+    )
+    shift = mat(
+        [
+            [one, zero, params.shift_x],
+            [zero, one, params.shift_y],
+            [zero, zero, one],
+        ]
+    )
+    # scipy.ndimage.rotate rotates counter-clockwise in array (row, col)
+    # space for positive angles; in (x, y)-with-y-down coordinates that is a
+    # clockwise rotation about the centre.
+    theta = jnp.deg2rad(params.angle_deg)
+    c, sn = jnp.cos(theta), jnp.sin(theta)
+    rot = mat(
+        [
+            [c, sn, cx - c * cx - sn * cy],
+            [-sn, c, cy + sn * cx - c * cy],
+            [zero, zero, one],
+        ]
+    )
+    return rot @ shift @ scale @ flip
+
+
+def _cubic_weights(t: jax.Array) -> tuple[jax.Array, ...]:
+    """Catmull-Rom (Keys a=-0.5) weights for taps at offsets (-1, 0, 1, 2)."""
+    a = -0.5
+    t2 = t * t
+    t3 = t2 * t
+    w0 = a * (t3 - 2.0 * t2 + t)
+    w1 = (a + 2.0) * t3 - (a + 3.0) * t2 + 1.0
+    w2 = -(a + 2.0) * t3 + (2.0 * a + 3.0) * t2 - a * t
+    w3 = a * (t2 - t3)
+    return w0, w1, w2, w3
+
+
+def affine_warp(
+    image: jax.Array, forward_matrix: jax.Array, order: int = 1
+) -> jax.Array:
+    """Inverse-warp one (H, W, C) image by a forward 3x3 affine matrix.
+
+    All channels are sampled in a single gather (the reference warps channel
+    by channel in Python, pytorch/Augmentor.py:96-103). Out-of-bounds reads
+    return 0.
+    """
+    h, w, c = image.shape
+    inv = jnp.linalg.inv(forward_matrix.astype(jnp.float32))
+    ys, xs = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32),
+        jnp.arange(w, dtype=jnp.float32),
+        indexing="ij",
+    )
+    src_x = inv[0, 0] * xs + inv[0, 1] * ys + inv[0, 2]
+    src_y = inv[1, 0] * xs + inv[1, 1] * ys + inv[1, 2]
+
+    if order <= 1:
+        x0 = jnp.floor(src_x)
+        y0 = jnp.floor(src_y)
+        tx = src_x - x0
+        ty = src_y - y0
+        taps_x = [(x0, 1.0 - tx), (x0 + 1.0, tx)]
+        taps_y = [(y0, 1.0 - ty), (y0 + 1.0, ty)]
+    else:
+        x0 = jnp.floor(src_x)
+        y0 = jnp.floor(src_y)
+        tx = src_x - x0
+        ty = src_y - y0
+        wx = _cubic_weights(tx)
+        wy = _cubic_weights(ty)
+        taps_x = [(x0 + (i - 1), wx[i]) for i in range(4)]
+        taps_y = [(y0 + (j - 1), wy[j]) for j in range(4)]
+
+    out = jnp.zeros((h, w, c), dtype=jnp.float32)
+    img_f = image.astype(jnp.float32)
+    for yi, wy_ in taps_y:
+        for xi, wx_ in taps_x:
+            valid = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+            xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+            yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+            sample = img_f[yc, xc]  # (H, W, C) gather over all channels
+            weight = jnp.where(valid, wy_ * wx_, 0.0)
+            out = out + weight[..., None] * sample
+    return out.astype(image.dtype)
+
+
+def affine_warp_batch(
+    images: jax.Array, forward_matrices: jax.Array, order: int = 1
+) -> jax.Array:
+    """vmapped ``affine_warp`` over a batch: (B, H, W, C), (B, 3, 3)."""
+    return jax.vmap(affine_warp, in_axes=(0, 0, None))(
+        images, forward_matrices, order
+    )
+
+
+def augment_pair(
+    key: jax.Array,
+    images: jax.Array,
+    confmaps: jax.Array,
+    rotation_range: float = 30.0,
+    xy_shifts: float = 10.0,
+    zoom_range: tuple[float, float] = (1.0, 1.0),
+    do_horizontal_flip: bool = True,
+    do_vertical_flip: bool = True,
+    order: int = 1,
+) -> tuple[jax.Array, jax.Array]:
+    """Apply identical per-sample random affines to images and confmaps.
+
+    The single entry point replacing ``SimpleDataGenerator.perform_augmentations``
+    (tensorflow/simple_data_generator.py:72-95): one transform is drawn per
+    sample and applied to both the input stack and the target confmaps, fused
+    into one warp over the channel-concatenated tensor.
+    """
+    b, h, w, ci = images.shape
+    params = sample_augment_params(
+        key,
+        b,
+        rotation_range=rotation_range,
+        xy_shifts=xy_shifts,
+        zoom_range=zoom_range,
+        do_horizontal_flip=do_horizontal_flip,
+        do_vertical_flip=do_vertical_flip,
+    )
+    mats = make_affine_matrix(params, h, w)
+    stacked = jnp.concatenate([images, confmaps.astype(images.dtype)], axis=-1)
+    warped = affine_warp_batch(stacked, mats, order)
+    return warped[..., :ci], warped[..., ci:].astype(confmaps.dtype)

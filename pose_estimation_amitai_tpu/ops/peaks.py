@@ -1,0 +1,123 @@
+"""On-device keypoint decoding from confidence maps.
+
+TPU-native replacements for the reference's peak decoders:
+
+* hard argmax — ``tf_find_peaks`` (reference: tensorflow/preprocessor.py:657-689,
+  pytorch/preprocessor.py:631-668, pytorch/Augmentor.py:105-148)
+* differentiable soft-argmax — ``find_peaks_soft_argmax``
+  (reference: pytorch/utils.py:47-83)
+* the pointwise (decoded-coordinate MSE) loss — ``PointWiseLoss``
+  (reference: tensorflow/Network.py:519-547; the reference hard-codes the
+  image height to 192 at Network.py:531 — fixed here to use the true shape)
+
+All functions are pure, jittable, and stay on device; the reference round-trips
+through NumPy/CPU for every decode (pytorch/train_pytorch.py:207-213), which is
+one of its main eval-loop bottlenecks.
+
+Layout convention: NHWC (TPU-native), matching the reference's rank-4
+``(samples, height, width, channels)`` contract.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def find_peaks_with_vals(confmaps: jax.Array) -> jax.Array:
+    """Per-channel argmax peak decode.
+
+    Args:
+      confmaps: (N, H, W, C) confidence maps.
+
+    Returns:
+      (N, 3, C) array of [x, y, val] per channel — the reference's
+      ``tf_find_peaks`` contract (tensorflow/preprocessor.py:657-689).
+    """
+    n, h, w, c = confmaps.shape
+    flat = confmaps.reshape(n, h * w, c)
+    idx = jnp.argmax(flat, axis=1)
+    vals = jnp.max(flat, axis=1)
+    rows = idx // w
+    cols = idx % w
+    return jnp.stack(
+        [cols.astype(jnp.float32), rows.astype(jnp.float32), vals.astype(jnp.float32)],
+        axis=1,
+    )
+
+
+def find_peaks(confmaps: jax.Array) -> jax.Array:
+    """Argmax peak decode returning (N, C, 2) [x, y] coordinates.
+
+    Matches the PyTorch Augmentor variant's output layout
+    (pytorch/Augmentor.py:105-148: permute + drop vals).
+    """
+    peaks = find_peaks_with_vals(confmaps)  # (N, 3, C)
+    return jnp.transpose(peaks, (0, 2, 1))[..., :2]
+
+
+def find_peaks_soft_argmax(confmaps: jax.Array) -> jax.Array:
+    """Differentiable soft-argmax decode.
+
+    Normalised-meshgrid expectation, rescaled to pixel coordinates and clamped
+    to image bounds (reference: pytorch/utils.py:47-83). Input is NHWC (the
+    reference permutes NCHW internally; we stay NHWC throughout).
+
+    Returns (N, C, 2) [x, y] float coordinates.
+    """
+    n, h, w, c = confmaps.shape
+    y_grid = jnp.linspace(0.0, 1.0, h).reshape(1, h, 1, 1)
+    x_grid = jnp.linspace(0.0, 1.0, w).reshape(1, 1, w, 1)
+    total = jnp.sum(confmaps, axis=(1, 2))
+    cx = jnp.sum(x_grid * confmaps, axis=(1, 2)) / total
+    cy = jnp.sum(y_grid * confmaps, axis=(1, 2)) / total
+    cx = jnp.clip(cx * (w - 1), 0.0, w - 1)
+    cy = jnp.clip(cy * (h - 1), 0.0, h - 1)
+    return jnp.stack([cx, cy], axis=-1)
+
+
+def marginal_soft_argmax(heatmaps: jax.Array) -> jax.Array:
+    """Marginal-expectation keypoint decode (the TF PointWiseLoss decoder).
+
+    Computes E[x], E[y] via 1-indexed linspace over row/column marginals, then
+    subtracts 1 — exactly the reference's ``_calculate_heatmap_keypoints``
+    (tensorflow/Network.py:519-534), with the image size taken from the shape
+    instead of the reference's hard-coded 192 (Network.py:531).
+
+    Args:
+      heatmaps: (N, H, W, C).
+
+    Returns:
+      (N, C, 2) [x, y] coordinates.
+    """
+    n, h, w, c = heatmaps.shape
+    lin_y = jnp.arange(1, h + 1, dtype=heatmaps.dtype).reshape(1, h, 1)
+    lin_x = jnp.arange(1, w + 1, dtype=heatmaps.dtype).reshape(1, w, 1)
+    total = jnp.sum(heatmaps, axis=(1, 2))  # (N, C)
+    # sum over W -> row marginal (N, H, C); weight by 1-indexed row coordinate.
+    h_y = jnp.sum(lin_y * jnp.sum(heatmaps, axis=2), axis=1) / total
+    h_x = jnp.sum(lin_x * jnp.sum(heatmaps, axis=1), axis=1) / total
+    return jnp.stack([h_x - 1.0, h_y - 1.0], axis=-1)
+
+
+def pointwise_loss(y_true: jax.Array, y_pred: jax.Array) -> jax.Array:
+    """MSE between soft-argmax-decoded keypoints of two heatmap stacks.
+
+    Reference: tensorflow/Network.py:536-547 (``PointWiseLoss.pointwize_loss``).
+    """
+    true_peaks = marginal_soft_argmax(y_true)
+    pred_peaks = marginal_soft_argmax(y_pred)
+    return jnp.mean(jnp.square(true_peaks - pred_peaks))
+
+
+def l2_distances(pred_confmaps: jax.Array, true_confmaps: jax.Array) -> jax.Array:
+    """Per-keypoint pixel L2 between argmax peaks of predicted vs true maps.
+
+    The validation metric of the reference (pytorch/train_pytorch.py:199-213,
+    tensorflow/CallBacks.py:49-69), fully on device.
+
+    Returns (N, C) distances in pixels.
+    """
+    pred = find_peaks(pred_confmaps)
+    true = find_peaks(true_confmaps)
+    return jnp.linalg.norm(pred - true, axis=-1)

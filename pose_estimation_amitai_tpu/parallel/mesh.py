@@ -1,0 +1,60 @@
+"""Device mesh + sharding helpers.
+
+The reference has NO distributed code at all (SURVEY §2.4: single GPU, a
+``torchrun`` binary in the venv that is never invoked). The TPU rebuild makes
+data parallelism the structural default: a 1-D ``jax.sharding.Mesh`` over all
+local devices, batches sharded on the ``data`` axis, parameters replicated.
+XLA inserts the gradient ``psum`` over ICI automatically from the sharding
+annotations — no NCCL-style collective calls in user code.
+
+The mesh generalises: pass ``mesh_shape=(dp, mp)`` to reserve a ``model``
+axis; at this model scale (~10^7 params) TP is never needed, but the latent
+channel dimension of the multi-camera models can be sharded over ``model``
+with one extra annotation if it ever is (SURVEY §2.4 TP row).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    mesh_shape: tuple[int, ...] = (), devices: list | None = None
+) -> Mesh:
+    """Create a device mesh.
+
+    ``mesh_shape=()`` -> 1-D data mesh over all devices. ``(dp,)`` or
+    ``(dp, mp)`` select explicit extents.
+    """
+    devices = devices if devices is not None else jax.devices()
+    if not mesh_shape:
+        mesh_shape = (len(devices),)
+    axes = (DATA_AXIS, MODEL_AXIS)[: len(mesh_shape)]
+    dev_array = np.asarray(devices[: int(np.prod(mesh_shape))]).reshape(mesh_shape)
+    return Mesh(dev_array, axes)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a pytree of (B, ...) arrays with B sharded over ``data``."""
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def shard_params(mesh: Mesh, params):
+    """Replicate a parameter pytree over the mesh."""
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), params)

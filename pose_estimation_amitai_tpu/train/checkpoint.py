@@ -1,0 +1,108 @@
+"""Checkpointing with working resume.
+
+The reference writes a full ``checkpoint.pth`` (model+optimizer+epoch+loss)
+every epoch but NO code path ever loads it — TF even hard-codes ``epoch0 = 0``
+(reference: pytorch/train_pytorch.py:253-260, tensorflow/train.py:89; SURVEY
+§5 flags resume as the capability gap to close). Here: one msgpack pytree
+format (flax.serialization) with best/every-epoch policies and true resume of
+params, optimiser state, RNG, epoch counter, LR-plateau state and the
+best-val marker.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import serialization
+
+from .loop import TrainState
+
+CHECKPOINT_NAME = "checkpoint.msgpack"
+BEST_NAME = "best_model.msgpack"
+META_NAME = "checkpoint_meta.json"
+
+
+def _state_payload(state: TrainState) -> dict:
+    return {
+        "step": state.step,
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "batch_stats": state.batch_stats,
+        "rng": jax.random.key_data(state.rng),
+    }
+
+
+def save_checkpoint(
+    run_path: str,
+    state: TrainState,
+    epoch: int,
+    val_loss: float,
+    scheduler_state: dict[str, Any] | None = None,
+    best: bool = False,
+) -> str:
+    """Write the full training state (every-epoch policy,
+    pytorch/train_pytorch.py:253-260) or the best-model snapshot."""
+    name = BEST_NAME if best else CHECKPOINT_NAME
+    path = os.path.join(run_path, name)
+    blob = serialization.to_bytes(_state_payload(state))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+    if not best:
+        meta = {
+            "epoch": int(epoch),
+            "val_loss": float(val_loss),
+            "scheduler": scheduler_state or {},
+        }
+        with open(os.path.join(run_path, META_NAME), "w") as f:
+            json.dump(meta, f, indent=2)
+    return path
+
+
+def save_params(path: str, params) -> str:
+    """Weights-only snapshot (analog of the per-epoch .h5 weights,
+    tensorflow/CallBacks.py:122-128)."""
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(params))
+    return path
+
+
+def load_params(path: str, template=None):
+    with open(path, "rb") as f:
+        data = f.read()
+    if template is not None:
+        return serialization.from_bytes(template, data)
+    restored = serialization.msgpack_restore(data)
+    return jax.tree_util.tree_map(jnp.asarray, restored)
+
+
+def restore_checkpoint(
+    path: str, template: TrainState
+) -> tuple[TrainState, dict[str, Any]]:
+    """Restore a TrainState from ``path`` (file or run dir) + meta dict."""
+    if os.path.isdir(path):
+        ckpt = os.path.join(path, CHECKPOINT_NAME)
+        meta_path = os.path.join(path, META_NAME)
+    else:
+        ckpt = path
+        meta_path = os.path.join(os.path.dirname(path), META_NAME)
+    with open(ckpt, "rb") as f:
+        data = f.read()
+    restored = serialization.from_bytes(_state_payload(template), data)
+    state = template.replace(
+        step=jnp.asarray(restored["step"], jnp.int32),
+        params=restored["params"],
+        opt_state=restored["opt_state"],
+        batch_stats=restored["batch_stats"],
+        rng=jax.random.wrap_key_data(jnp.asarray(restored["rng"])),
+    )
+    meta: dict[str, Any] = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return state, meta

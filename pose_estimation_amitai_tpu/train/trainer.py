@@ -1,0 +1,333 @@
+"""The Trainer: run folders, epoch loop, metrics artifacts, checkpoints, resume.
+
+Re-design of both reference entry points (reference:
+pytorch/train_pytorch.py:37-397, tensorflow/train.py:34-153) keeping their
+run-directory artifact contract (SURVEY §5):
+
+* auto-suffixed run folder ``<model_type>_<Mon DD>[_NN]`` with
+  weights/, viz_pred/, histograms/, l2_histograms/, l2_histograms_per_point/
+  and a full ``training code/`` snapshot (train.py:122-147)
+* ``configuration.json`` config snapshot (train.py:108-110)
+* ``losses.csv`` per epoch: train/val loss + L2 mean/std/max
+  (train_pytorch.py:262-283) and ``history.csv`` (CallBacks.py:17-33)
+* per-epoch L2 histograms, per-point histograms, prediction overlay PNGs
+* ``checkpoint.msgpack`` every epoch + best-on-val snapshot, with TRUE
+  resume (``resume_from`` config) — closing the reference's gap (SURVEY §5)
+
+The compute itself is the jitted step from :mod:`.loop`; one epoch is
+``batches_per_epoch`` microbatches = ``batches_per_epoch/accumulation_steps``
+optimiser updates, matching pytorch/train_pytorch.py:125-142.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+import shutil
+import sys
+from datetime import date
+from time import time
+
+import jax
+import numpy as np
+
+from .. import viz
+from ..config import Config
+from ..data.pipeline import DeviceDataset, build_dataset
+from ..models import build_model
+from ..ops import peaks as peaks_ops
+from . import checkpoint as ckpt
+from .loop import (
+    PlateauScheduler,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: Config | str,
+        arrays: dict[str, np.ndarray] | None = None,
+    ):
+        if isinstance(cfg, str):
+            cfg = Config.from_json(cfg)
+        self.cfg = cfg
+        self.debug_mode = cfg.debug_mode
+        self.batches_per_epoch = 1 if cfg.debug_mode else cfg.batches_per_epoch
+
+        if cfg.nan_debug:
+            # analog of torch.autograd.set_detect_anomaly(True)
+            # (pytorch/train_pytorch.py:117)
+            jax.config.update("jax_debug_nans", True)
+
+        self.dataset, self.preprocessor = build_dataset(cfg, arrays)
+        self.run_name = f"{cfg.model_type}_{date.today().strftime('%b %d')}"
+        self.run_path = self._create_run_folders()
+        self._save_configuration()
+
+        sample_ids = self.dataset.train_inds[: max(1, min(2, len(self.dataset.train_inds)))]
+        sample_batch = self.dataset.gather(np.asarray(sample_ids, np.int32))
+        img_shape = sample_batch["image"].shape[1:]
+        num_out = sample_batch["confmaps"].shape[-1]
+        self.model = build_model(cfg, img_shape, num_out)
+        self.state = create_train_state(self.model, cfg, sample_batch, cfg.seed)
+        self._maybe_load_pretrained()
+
+        self.train_step = make_train_step(self.model, cfg)
+        self.eval_step = make_eval_step(self.model, cfg)
+        self.scheduler = PlateauScheduler(cfg)
+
+        self.start_epoch = 0
+        self.best_loss = float("inf")
+        if cfg.resume_from:
+            self.state, meta = ckpt.restore_checkpoint(cfg.resume_from, self.state)
+            self.start_epoch = int(meta.get("epoch", -1)) + 1
+            self.best_loss = float(meta.get("val_loss", float("inf")))
+            if meta.get("scheduler"):
+                self.scheduler.load_state_dict(meta["scheduler"])
+            print(f"Resumed from {cfg.resume_from} at epoch {self.start_epoch}",
+                  flush=True)
+
+    # ------------------------------------------------------------------
+    def _maybe_load_pretrained(self) -> None:
+        """Load frozen-coarse (C2F) or self-supervised encoder weights.
+
+        Twin of the C2F coarse-model load (tensorflow/Network.py:172-176) and
+        ``PretrainedLEAP`` re-heading (pytorch/NNs warehouse/NNs.py:38-62).
+        """
+        cfg = self.cfg
+        params = self.state.params
+        if cfg.coarse_model_path and "coarse" in params:
+            loaded = ckpt.load_params(cfg.coarse_model_path, params["coarse"])
+            params = dict(params)
+            params["coarse"] = loaded
+            self.state = self.state.replace(params=params)
+        if cfg.pretrained_encoder_path:
+            enc_key = "encoder" if "encoder" in params else None
+            if enc_key:
+                loaded_all = ckpt.load_params(cfg.pretrained_encoder_path)
+                src = loaded_all.get("encoder", loaded_all)
+                params = dict(params)
+                params[enc_key] = jax.tree_util.tree_map(
+                    lambda t, v: v.astype(t.dtype), params[enc_key], src
+                )
+                self.state = self.state.replace(params=params)
+
+    def _create_run_folders(self) -> str:
+        """Auto-suffixed run dir + code snapshot
+        (tensorflow/train.py:122-147)."""
+        run_path = os.path.join(self.cfg.base_output_path, self.run_name)
+        if not self.cfg.clean:
+            initial, i = run_path, 1
+            while os.path.exists(run_path):
+                run_path = "%s_%02d" % (initial, i)
+                i += 1
+        if os.path.exists(run_path):
+            shutil.rmtree(run_path)
+        os.makedirs(run_path)
+        for sub in (
+            "weights", "viz_pred", "viz_confmaps", "histograms",
+            "l2_histograms", "l2_histograms_per_point",
+        ):
+            os.makedirs(os.path.join(run_path, sub))
+        code_dir = os.path.join(run_path, "training code")
+        pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        shutil.copytree(
+            pkg_root, os.path.join(code_dir, os.path.basename(pkg_root)),
+            ignore=shutil.ignore_patterns("__pycache__"),
+        )
+        print("Created folder:", run_path, flush=True)
+        return run_path
+
+    def _save_configuration(self) -> None:
+        with open(os.path.join(self.run_path, "configuration.json"), "w") as f:
+            json.dump(self.cfg.raw or self.cfg.to_dict(), f, indent=4)
+
+    # ------------------------------------------------------------------
+    def train(self) -> dict[str, list[float]]:
+        cfg = self.cfg
+        t0 = time()
+        train_losses: list[float] = []
+        val_losses: list[float] = []
+        l2_means: list[float] = []
+        l2_stds: list[float] = []
+        l2_max: list[float] = []
+
+        accum = max(1, cfg.accumulation_steps)
+        updates_per_epoch = max(1, self.batches_per_epoch // accum)
+        profiler_ctx = None
+        if cfg.profile:
+            jax.profiler.start_trace(os.path.join(self.run_path, "profile"))
+            profiler_ctx = True
+
+        for epoch in range(self.start_epoch, cfg.epochs):
+            print(f"Epoch {epoch + 1}/{cfg.epochs}", flush=True)
+            self.dataset.shuffle_train_indices()
+            running = 0.0
+            for _ in range(updates_per_epoch):
+                idx = self.dataset.step_indices(cfg.batch_size, accum)
+                self.state, loss = self.train_step(
+                    self.state, self.dataset.data, idx, self.scheduler.lr_scale
+                )
+                running += float(loss)
+            train_loss = running / updates_per_epoch
+            train_losses.append(train_loss)
+            print(f"Train Loss: {train_loss:.7f}", flush=True)
+
+            # -- validation (pytorch/train_pytorch.py:150-194) -------------
+            val_loss, l2_all, l2_per_point = self.evaluate()
+            val_losses.append(val_loss)
+            print(f"Val Loss: {val_loss:.7f}", flush=True)
+            self.scheduler.step(val_loss)
+
+            l2_means.append(float(np.mean(l2_all)))
+            l2_stds.append(float(np.std(l2_all)))
+            l2_max.append(float(np.max(l2_all)))
+
+            if val_loss < self.best_loss:
+                self.best_loss = val_loss
+                ckpt.save_checkpoint(
+                    self.run_path, self.state, epoch, val_loss, best=True
+                )
+            if cfg.save_every_epoch:
+                ckpt.save_params(
+                    os.path.join(
+                        self.run_path, "weights",
+                        f"weights.{epoch + 1:03d}-{val_loss:.9f}.msgpack",
+                    ),
+                    self.state.params,
+                )
+            ckpt.save_checkpoint(
+                self.run_path, self.state, epoch, val_loss,
+                scheduler_state=self.scheduler.state_dict(),
+            )
+
+            self._save_epoch_artifacts(
+                epoch, train_losses, val_losses, l2_means, l2_stds, l2_max,
+                l2_all, l2_per_point,
+            )
+
+        if profiler_ctx:
+            jax.profiler.stop_trace()
+        print(
+            "Total runtime first loss: %.1f mins" % ((time() - t0) / 60),
+            flush=True,
+        )
+        return {
+            "train_loss": train_losses,
+            "val_loss": val_losses,
+            "l2": l2_means,
+        }
+
+    # ------------------------------------------------------------------
+    def evaluate(self) -> tuple[float, np.ndarray, np.ndarray]:
+        """Full-val MSE + decoded-peak pixel L2 (mean over batches)."""
+        cfg = self.cfg
+        total, count = 0.0, 0
+        l2_chunks = []
+        for ids, n_valid in self.dataset.val_batches(cfg.batch_size):
+            batch = self.dataset.gather(ids)
+            mse, l2 = self.eval_step(self.state, batch)
+            total += float(mse) * n_valid
+            count += n_valid
+            l2_chunks.append(np.asarray(l2)[:n_valid])
+        l2_per_sample = np.concatenate(l2_chunks, axis=0)  # (N, P)
+        l2_per_point = l2_per_sample.T  # (P, N)
+        return total / max(count, 1), l2_per_sample.flatten(), l2_per_point
+
+    def _save_epoch_artifacts(
+        self, epoch, train_losses, val_losses, l2_means, l2_stds, l2_max,
+        l2_all, l2_per_point,
+    ) -> None:
+        rp = self.run_path
+        # losses.csv (pytorch/train_pytorch.py:262-283)
+        with open(os.path.join(rp, "losses.csv"), "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(
+                ["Epoch", "Train Loss", "Val Loss", "L2 Loss", "L2 Std",
+                 "L2 Max Outlier"]
+            )
+            for i in range(len(train_losses)):
+                w.writerow(
+                    [i + 1, f"{train_losses[i]:.4g}", f"{val_losses[i]:.4g}",
+                     f"{l2_means[i]:.4g}", f"{l2_stds[i]:.4g}",
+                     f"{l2_max[i]:.4g}"]
+                )
+        # history.csv (tensorflow/CallBacks.py:17-33)
+        with open(os.path.join(rp, "history.csv"), "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["epoch", "loss", "val_loss"])
+            for i in range(len(train_losses)):
+                w.writerow([i, train_losses[i], val_losses[i]])
+        try:
+            from scipy.io import savemat
+
+            savemat(
+                os.path.join(rp, "history.mat"),
+                {"loss": train_losses, "val_loss": val_losses,
+                 "val_l2_loss": l2_means},
+            )
+        except Exception:
+            pass
+        viz.plot_history(
+            train_losses, val_losses, os.path.join(rp, "loss_graph.png"),
+            start_epoch=min(4, max(len(train_losses) - 1, 0)),
+        )
+        viz.plot_history(
+            train_losses, val_losses, os.path.join(rp, "history.png")
+        )
+        viz.l2_histogram(
+            l2_all, epoch,
+            os.path.join(rp, "l2_histograms", f"validation_epoch_{epoch + 1}.png"),
+        )
+        viz.l2_histogram_per_point(
+            l2_per_point, epoch,
+            os.path.join(
+                rp, "l2_histograms_per_point", f"validation_epoch_{epoch + 1}.png"
+            ),
+        )
+        self._save_validation_image(epoch)
+
+    def _save_validation_image(self, epoch: int) -> None:
+        """Prediction overlay for the first val sample
+        (pytorch/train_pytorch.py:222-251)."""
+        if len(self.dataset.val_inds) == 0:
+            return
+        ids = np.asarray(self.dataset.val_inds[:1], np.int32)
+        batch = self.dataset.gather(ids)
+        variables = {"params": self.state.params}
+        if self.state.batch_stats:
+            variables["batch_stats"] = self.state.batch_stats
+        from .loop import _model_args
+
+        pred = self.model.apply(variables, *_model_args(batch), train=False)
+        pts = np.asarray(peaks_ops.find_peaks(np.asarray(pred)))[0]
+        gt = np.asarray(
+            peaks_ops.find_peaks(np.asarray(batch["confmaps"]))
+        )[0]
+        image = np.asarray(batch["image"][0])
+        viz.show_pred(
+            image, pts, gt,
+            save_path=os.path.join(
+                self.run_path, "viz_pred", f"validation_epoch_{epoch + 1}.png"
+            ),
+        )
+        viz.show_confmap_grid(
+            np.asarray(pred)[0],
+            save_path=os.path.join(
+                self.run_path, "viz_confmaps", f"confmaps_{epoch + 1:03d}.png"
+            ),
+        )
+
+
+def main(argv: list[str] | None = None) -> None:
+    argv = argv if argv is not None else sys.argv[1:]
+    trainer = Trainer(argv[0])
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main()

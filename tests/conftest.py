@@ -1,0 +1,28 @@
+"""Test configuration: run the suite on a virtual 8-device CPU mesh.
+
+Must set the XLA flags before jax initialises (SURVEY §4: multi-chip tests on
+a single host via ``xla_force_host_platform_device_count``).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+import numpy as np
+import pytest
+
+# Persistent compilation cache: the suite recompiles many small jitted fns;
+# caching cuts repeat runs from minutes to seconds.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,68 @@
+"""Morphology ops vs scipy.ndimage references."""
+
+import jax.numpy as jnp
+import numpy as np
+from scipy import ndimage
+
+from pose_estimation_amitai_tpu.ops import morphology as M
+
+
+def _rand_mask(rng, shape=(24, 24), p=0.3):
+    return (rng.random(shape) < p).astype(np.bool_)
+
+
+def test_cross_structure_matches_scipy_default():
+    want = ndimage.generate_binary_structure(2, 1)
+    np.testing.assert_array_equal(M.cross(1), want)
+
+
+def test_binary_dilation_matches_scipy(rng):
+    mask = _rand_mask(rng)
+    got = np.asarray(M.binary_dilation(jnp.asarray(mask)))
+    want = ndimage.binary_dilation(mask)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_binary_dilation_iterations(rng):
+    mask = _rand_mask(rng, p=0.05)
+    got = np.asarray(M.binary_dilation(jnp.asarray(mask), iterations=3))
+    want = ndimage.binary_dilation(mask, iterations=3)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_binary_erosion_matches_scipy(rng):
+    mask = _rand_mask(rng, p=0.7)
+    got = np.asarray(M.binary_erosion(jnp.asarray(mask)))
+    want = ndimage.binary_erosion(mask)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_binary_closing_matches_scipy(rng):
+    mask = _rand_mask(rng, p=0.4)
+    got = np.asarray(M.binary_closing(jnp.asarray(mask)))
+    want = ndimage.binary_closing(mask)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_adjust_mask_semantics(rng):
+    """closing + dilation(iterations=k) — pytorch/preprocessor.py:390-393."""
+    mask = _rand_mask(rng, p=0.4)
+    got = np.asarray(M.adjust_mask(jnp.asarray(mask), mask_dilation=2))
+    want = ndimage.binary_dilation(ndimage.binary_closing(mask), iterations=2)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_batched_leading_dims(rng):
+    masks = (rng.random((3, 4, 16, 16)) < 0.3).astype(np.bool_)
+    got = np.asarray(M.binary_dilation(jnp.asarray(masks)))
+    for i in range(3):
+        for j in range(4):
+            want = ndimage.binary_dilation(masks[i, j])
+            np.testing.assert_array_equal(got[i, j], want)
+
+
+def test_disk_dilation_matches_scipy(rng):
+    mask = _rand_mask(rng, p=0.05)
+    got = np.asarray(M.dilate_disk(jnp.asarray(mask), 3))
+    want = ndimage.binary_dilation(mask, structure=M.disk(3))
+    np.testing.assert_array_equal(got, want)

@@ -1,0 +1,76 @@
+"""Peak decoding ops vs NumPy references."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pose_estimation_amitai_tpu.ops import gaussian, peaks
+
+
+def _numpy_find_peaks(x):
+    """NumPy port of the reference tf_find_peaks contract (N, 3, C)."""
+    n, h, w, c = x.shape
+    flat = x.reshape(n, h * w, c)
+    idx = np.argmax(flat, axis=1)
+    vals = np.max(flat, axis=1)
+    rows = idx // w
+    cols = idx % w
+    return np.stack([cols, rows, vals], axis=1).astype(np.float32)
+
+
+def test_find_peaks_matches_numpy(rng):
+    x = rng.random((4, 24, 24, 5)).astype(np.float32)
+    got = np.asarray(peaks.find_peaks_with_vals(jnp.asarray(x)))
+    want = _numpy_find_peaks(x)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_find_peaks_xy_layout(rng):
+    x = np.zeros((2, 16, 16, 3), dtype=np.float32)
+    # channel 0: peak at (x=5, y=9)
+    x[0, 9, 5, 0] = 1.0
+    x[0, 0, 0, 1] = 1.0
+    x[0, 15, 15, 2] = 1.0
+    got = np.asarray(peaks.find_peaks(jnp.asarray(x)))
+    assert got.shape == (2, 3, 2)
+    np.testing.assert_allclose(got[0, 0], [5.0, 9.0])
+    np.testing.assert_allclose(got[0, 2], [15.0, 15.0])
+
+
+def test_soft_argmax_recovers_gaussian_peak():
+    pts = jnp.array([[[40.0, 80.0], [100.0, 30.0]]])  # (1, 2, 2)
+    maps = gaussian.confmaps_from_peaks(pts, (192, 192), sigma=3.0)
+    got = peaks.find_peaks_soft_argmax(maps)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(pts), atol=0.05)
+
+
+def test_marginal_soft_argmax_matches_tf_formula():
+    """The 1-indexed linspace expectation (Network.py:519-534) on a Gaussian."""
+    pts = jnp.array([[[64.0, 100.0]]])
+    maps = gaussian.confmaps_from_peaks(pts, (192, 192), sigma=3.0)
+    got = peaks.marginal_soft_argmax(maps)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(pts), atol=0.05)
+
+
+def test_pointwise_loss_zero_for_identical():
+    pts = jnp.array([[[64.0, 100.0], [10.0, 20.0]]])
+    maps = gaussian.confmaps_from_peaks(pts, (192, 192), sigma=3.0)
+    assert float(peaks.pointwise_loss(maps, maps)) == 0.0
+
+
+def test_l2_distances():
+    a = gaussian.confmaps_from_peaks(jnp.array([[[10.0, 10.0]]]), (64, 64))
+    b = gaussian.confmaps_from_peaks(jnp.array([[[13.0, 14.0]]]), (64, 64))
+    d = np.asarray(peaks.l2_distances(a, b))
+    np.testing.assert_allclose(d, [[5.0]], atol=1e-5)
+
+
+def test_peaks_jit_and_grad():
+    pts = jnp.array([[[30.0, 40.0]]])
+    maps = gaussian.confmaps_from_peaks(pts, (64, 64), sigma=3.0)
+
+    def loss(m):
+        return jnp.sum(peaks.find_peaks_soft_argmax(m))
+
+    g = jax.jit(jax.grad(loss))(maps)
+    assert np.isfinite(np.asarray(g)).all()
