@@ -7,6 +7,13 @@ reference's inference-as-practiced path (model.predict + tf_find_peaks,
 reference: tensorflow/preprocessor.py:657-689) fused into one jitted
 device-resident program.
 
+Two implementations are measured and the faster wins:
+* pure XLA forward (flax convs)
+* Pallas fused-encoder path (ops/pallas_conv.py)
+
+Timing forces host fetches of the (tiny) decoded outputs — on remote-attached
+backends ``block_until_ready`` can return before execution finishes.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
@@ -23,9 +30,25 @@ import jax.numpy as jnp
 BASELINE_FPS = 5000.0
 
 
+def _measure(fn, params, chunks, trials=3):
+    np.asarray(fn(params, chunks[0]))  # compile + warm
+    best = 0.0
+    n = sum(c.shape[0] for c in chunks)
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        outs = [fn(params, c) for c in chunks]  # pipelined dispatch
+        for o in outs:
+            np.asarray(o)  # fetch decoded keypoints (B, 3, K) — tiny
+        best = max(best, n / (time.perf_counter() - t0))
+    return best
+
+
 def main() -> None:
     from pose_estimation_amitai_tpu.config import Config
     from pose_estimation_amitai_tpu.models import build_model
+    from pose_estimation_amitai_tpu.models.fast_infer import (
+        basicnet_apply_fused,
+    )
     from pose_estimation_amitai_tpu.ops import peaks
 
     hw, in_ch, out_ch = 192, 4, 18
@@ -40,9 +63,13 @@ def main() -> None:
     )["params"]
 
     @jax.jit
-    def infer(params, frames):
-        """frames -> (heatmaps-decoded) keypoints [x, y, val] per channel."""
+    def infer_xla(params, frames):
         maps = model.apply({"params": params}, frames, train=False)
+        return peaks.find_peaks_with_vals(maps)
+
+    @jax.jit
+    def infer_fused(params, frames):
+        maps = basicnet_apply_fused(model, params, frames)
         return peaks.find_peaks_with_vals(maps)
 
     rng = np.random.default_rng(0)
@@ -51,20 +78,13 @@ def main() -> None:
         for _ in range(n_chunks)
     ]
 
-    # warmup / compile (np.asarray forces a real device round-trip — some
-    # remote backends return from block_until_ready before execution ends)
-    np.asarray(infer(params, chunks[0]))
+    fps_xla = _measure(infer_xla, params, chunks)
+    try:
+        fps_fused = _measure(infer_fused, params, chunks)
+    except Exception:
+        fps_fused = 0.0
+    fps = max(fps_xla, fps_fused)
 
-    best = 0.0
-    for _ in range(3):
-        t0 = time.perf_counter()
-        outs = [infer(params, c) for c in chunks]  # pipelined dispatch
-        for o in outs:
-            np.asarray(o)  # fetch decoded keypoints (B, 3, K) — tiny
-        dt = time.perf_counter() - t0
-        best = max(best, batch * n_chunks / dt)
-
-    fps = best
     print(
         json.dumps(
             {

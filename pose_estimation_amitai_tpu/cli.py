@@ -1,0 +1,156 @@
+"""Command-line interface: train / pretrain / infer / eval.
+
+The reference's CLI surface is two bare scripts taking a JSON config path as
+``argv[1]`` (reference: tensorflow/train.py:149-153,
+pytorch/train_pytorch.py:393-397) plus a Slurm job wrapper (run1.job). The
+rebuild keeps that config-file-first shape under one typed entry point:
+
+    python -m pose_estimation_amitai_tpu train    <config.json>
+    python -m pose_estimation_amitai_tpu pretrain <config.json> [crops]
+    python -m pose_estimation_amitai_tpu infer    <config.json> <ckpt> <data.h5> [out.npz]
+    python -m pose_estimation_amitai_tpu eval     <config.json> <ckpt> <data.h5>
+
+``infer`` runs the full on-device pipeline (heatmaps -> peak decode ->
+multi-view 3D lift when camera matrices are present) and writes an .npz with
+``points_2d`` (F, 3, K) and, when liftable, ``points_3d`` (F, K, 3).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache (first compiles are 20-60s)."""
+    import jax
+
+    cache_dir = os.environ.get("POSE_TPU_JAX_CACHE", "/tmp/jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+
+_enable_compilation_cache()
+
+
+def cmd_train(args) -> int:
+    from .train.trainer import Trainer
+
+    Trainer(args.config).train()
+    return 0
+
+
+def cmd_pretrain(args) -> int:
+    from .train import selfsup
+
+    argv = [args.config] + ([args.data] if args.data else [])
+    selfsup.main(argv)
+    return 0
+
+
+def _preprocessed(args):
+    """Run the training-time preprocessing on the eval/infer dataset.
+
+    Inference must see exactly what training saw (per-wing split, mask
+    repair, per-model reshape — SURVEY §3.5), so both CLI paths go through
+    the same Preprocessor instead of feeding raw H5 boxes to the model.
+    """
+    from .config import Config
+    from .data.preprocess import Preprocessor
+    from .infer import Predictor
+
+    cfg = Config.from_json(args.config).replace(
+        data_path=args.data, debug_mode=False
+    )
+    pre = Preprocessor(cfg)
+    pre.do_preprocess()
+    box = pre.get_box().astype(np.float32)
+    confmaps = pre.get_confmaps().astype(np.float32)
+    predictor = Predictor.from_checkpoint(
+        cfg, args.checkpoint,
+        image_shape=tuple(box.shape[1:]),
+        num_output_channels=confmaps.shape[-1],
+        chunk_size=args.chunk_size,
+    )
+    return cfg, pre, box, confmaps, predictor
+
+
+def cmd_infer(args) -> int:
+    from . import constants as C
+    from .infer import lift_to_3d
+
+    cfg, pre, box, _, predictor = _preprocessed(args)
+    pts = predictor.predict_movie(box)  # (S, 3, K)
+
+    out = {"points_2d": pts}
+    # Per-wing flagship layout: samples are (2F wing-frames) x cams; lift
+    # each wing-frame's peaks to 3D through the DLT cameras.
+    per_wing_types = (
+        C.MODEL_18_POINTS_PER_WING, C.PER_WING_MODEL, C.ALL_POINTS_MODEL,
+    )
+    ncams = 4
+    if (
+        cfg.model_type in per_wing_types
+        and pre.camera_matrices is not None
+        and pts.shape[0] % ncams == 0
+    ):
+        per_cam = pts.reshape(-1, ncams, 3, pts.shape[-1])
+        pts2d = np.transpose(per_cam[:, :, :2, :], (0, 1, 3, 2))  # (2F,4,K,2)
+        cz = pre.get_cropzone()
+        cz_all = np.concatenate([cz, cz], axis=0)[: pts2d.shape[0]]
+        out["points_3d"] = lift_to_3d(
+            pts2d, cz_all, pre.camera_matrices
+        )
+    dest = args.out or "predictions.npz"
+    np.savez(dest, **out)
+    print(f"wrote {dest}: " + ", ".join(
+        f"{k} {v.shape}" for k, v in out.items()
+    ))
+    return 0
+
+
+def cmd_eval(args) -> int:
+    from .infer import evaluate_l2
+
+    _, _, box, confmaps, predictor = _preprocessed(args)
+    stats = evaluate_l2(predictor, box, confmaps)
+    print(json.dumps(stats, indent=2))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="pose_estimation_amitai_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("train", help="supervised training")
+    t.add_argument("config")
+    t.set_defaults(fn=cmd_train)
+
+    pre = sub.add_parser("pretrain", help="self-supervised inpainting")
+    pre.add_argument("config")
+    pre.add_argument("data", nargs="?", default="")
+    pre.set_defaults(fn=cmd_pretrain)
+
+    for name, fn in (("infer", cmd_infer), ("eval", cmd_eval)):
+        s = sub.add_parser(name)
+        s.add_argument("config")
+        s.add_argument("checkpoint")
+        s.add_argument("data")
+        if name == "infer":
+            s.add_argument("out", nargs="?", default="")
+        s.add_argument("--chunk-size", type=int, default=256)
+        s.set_defaults(fn=fn)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

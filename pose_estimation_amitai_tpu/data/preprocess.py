@@ -215,8 +215,54 @@ class Preprocessor:
             return self.reshape_for_all_cams_18_points
         if mt == C.BODY_PARTS_MODEL:
             return self.reshape_to_body_parts
+        if mt == C.HEAD_TAIL_ALL_CAMS:
+            return self.do_preprocess_head_tail_all_cams
+        if mt in (C.HEAD_TAIL_PER_CAM, C.HEAD_TAIL_PER_CAM_POINTS_LOSS,
+                  C.HEAD_TAIL):
+            return self.do_preprocess_head_tail_per_cam
         # Safe default: per-wing reshape (covers the remaining per-wing types).
         return self.do_reshape_per_wing
+
+    # -- head/tail paths -----------------------------------------------------
+    def _head_tail_flatten_pair(self) -> None:
+        """Head-tail datasets may hold a leading movie-pair dim
+        (tensorflow/preprocessor.py:48-63): flatten it into frames."""
+        if self.box.ndim == 6:
+            self.box = self.box.reshape((-1,) + self.box.shape[2:])
+            self.confmaps = self.confmaps.reshape(
+                (-1,) + self.confmaps.shape[2:]
+            )
+
+    def do_preprocess_head_tail_per_cam(self) -> None:
+        """Each camera view is a sample; 3 time channels only
+        (tensorflow/preprocessor.py:568-582)."""
+        self._head_tail_flatten_pair()
+        if self.model_type in (C.HEAD_TAIL_PER_CAM,
+                               C.HEAD_TAIL_PER_CAM_POINTS_LOSS):
+            self.box = self.box[..., : self.num_time_channels]
+        ncams = self.box.shape[1]
+        self.box = np.concatenate(
+            [self.box[:, c] for c in range(ncams)], axis=0
+        )
+        self.confmaps = np.concatenate(
+            [self.confmaps[:, c] for c in range(ncams)], axis=0
+        )
+        self.confmaps = self.confmaps[..., -2:]  # head + tail channels
+        self.num_samples = self.box.shape[0]
+
+    def do_preprocess_head_tail_all_cams(self) -> None:
+        """All 4 cameras concatenated on channels
+        (tensorflow/preprocessor.py:584-598)."""
+        self._head_tail_flatten_pair()
+        ncams = self.box.shape[1]
+        self.box = np.concatenate(
+            [self.box[:, c] for c in range(ncams)], axis=-1
+        )
+        confmaps = self.confmaps[..., -2:]
+        self.confmaps = np.concatenate(
+            [confmaps[:, c] for c in range(ncams)], axis=-1
+        )
+        self.num_samples = self.box.shape[0]
 
     # -- split_per_wing ------------------------------------------------------
     def split_per_wing(

@@ -1,0 +1,81 @@
+"""Inference fast path: Pallas-fused encoder + flax decoder.
+
+Runs the flagship ``BasicNet`` (torch flavour) forward with the fused
+encoder-stage kernels of :mod:`..ops.pallas_conv` — numerically the same
+network (same flax parameter tree), restructured for VMEM residency. Used by
+bench.py and the Predictor when enabled; training and non-flagship models
+keep the pure-flax path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.pallas_conv import encoder_forward_fused
+from .cnn import BasicNet
+from .layers import TORCH_ALPHA, DecoderUp
+
+
+def encoder_stage_params(params: dict) -> list[dict]:
+    """flax BasicNet params -> per-stage HWIO weight dicts for the kernel.
+
+    The torch-flavour encoder names its convs conv1..conv9, three per stage
+    (models/layers.py:77-85).
+    """
+    enc = params["encoder"]
+    stages = []
+    for k in range(3):
+        stages.append(
+            {
+                "w1": enc[f"conv{3 * k + 1}"]["kernel"],
+                "b1": enc[f"conv{3 * k + 1}"]["bias"],
+                "w2": enc[f"conv{3 * k + 2}"]["kernel"],
+                "b2": enc[f"conv{3 * k + 2}"]["bias"],
+                "w3": enc[f"conv{3 * k + 3}"]["kernel"],
+                "b3": enc[f"conv{3 * k + 3}"]["bias"],
+            }
+        )
+    return stages
+
+
+def basicnet_apply_fused(
+    model: BasicNet, params: dict, x: jax.Array, *, interpret: bool = False
+) -> jax.Array:
+    """Forward ``BasicNet`` with the fused encoder kernel (inference only).
+
+    Equivalent to ``model.apply({'params': params}, x, train=False)`` for
+    torch-flavour models; asserts on unsupported flavours.
+    """
+    assert model.flavor == "torch", "fused path covers the torch flavour"
+    dtype = model.dtype
+    stages = [
+        {k: v.astype(dtype) if v.ndim == 4 else v for k, v in s.items()}
+        for s in encoder_stage_params(params)
+    ]
+
+    def encode(xc):
+        return encoder_forward_fused(
+            xc, stages,
+            dilation=model.dilation, alpha=TORCH_ALPHA, interpret=interpret,
+        )
+
+    # Mosaic layout assignment crashes on pallas operands with sub-8-lane
+    # minors once the array exceeds a few MB (batch >= ~8 at 192px), so the
+    # encoder maps over batch chunks of <= 8 frames; chunks run
+    # back-to-back on device with no host sync.
+    b = x.shape[0]
+    chunk = next(c for c in (8, 4, 2, 1) if b % c == 0)
+    x = x.astype(dtype)
+    if b == chunk:
+        latent = encode(x)
+    else:
+        xr = x.reshape(b // chunk, chunk, *x.shape[1:])
+        latent = jax.lax.map(encode, xr)
+        latent = latent.reshape(b, *latent.shape[2:])
+    decoder = DecoderUp(
+        model.out_channels, model.filters, model.kernel_size,
+        model.num_blocks, model.flavor, model.dtype,
+    )
+    out = decoder.apply({"params": params["decoder"]}, latent)
+    return out.astype(jnp.float32)

@@ -73,12 +73,23 @@ def save_params(path: str, params) -> str:
 
 
 def load_params(path: str, template=None):
+    """Load a params pytree from a weights-only snapshot, a full
+    checkpoint/best-model payload, or a run directory (best preferred)."""
+    if os.path.isdir(path):
+        for name in (BEST_NAME, CHECKPOINT_NAME):
+            cand = os.path.join(path, name)
+            if os.path.exists(cand):
+                path = cand
+                break
     with open(path, "rb") as f:
         data = f.read()
-    if template is not None:
-        return serialization.from_bytes(template, data)
     restored = serialization.msgpack_restore(data)
-    return jax.tree_util.tree_map(jnp.asarray, restored)
+    if isinstance(restored, dict) and {"params", "opt_state"} <= set(restored):
+        restored = restored["params"]  # full TrainState payload
+    restored = jax.tree_util.tree_map(jnp.asarray, restored)
+    if template is not None:
+        return serialization.from_state_dict(template, restored)
+    return restored
 
 
 def restore_checkpoint(

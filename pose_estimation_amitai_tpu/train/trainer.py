@@ -76,7 +76,29 @@ class Trainer:
         self.state = create_train_state(self.model, cfg, sample_batch, cfg.seed)
         self._maybe_load_pretrained()
 
-        self.train_step = make_train_step(self.model, cfg)
+        # Multi-chip data parallelism (SURVEY §2.4): with >1 device (or an
+        # explicit mesh_shape) batches shard over the mesh's data axis and
+        # XLA all-reduces gradients over ICI; single-chip keeps the
+        # dataset-resident gather step.
+        n_dev = (
+            int(np.prod(cfg.mesh_shape)) if cfg.mesh_shape
+            else len(jax.devices())
+        )
+        self.mesh = None
+        if n_dev > 1 and cfg.batch_size % n_dev == 0:
+            from ..parallel.mesh import make_mesh
+            from ..parallel.sharded import (
+                make_sharded_train_step,
+                shard_state,
+            )
+
+            self.mesh = make_mesh(cfg.mesh_shape or (n_dev,))
+            self.state = shard_state(self.mesh, self.state)
+            self._sharded_step = make_sharded_train_step(
+                self.model, cfg, self.mesh
+            )
+        else:
+            self.train_step = make_train_step(self.model, cfg)
         self.eval_step = make_eval_step(self.model, cfg)
         self.scheduler = PlateauScheduler(cfg)
 
@@ -169,9 +191,13 @@ class Trainer:
             running = 0.0
             for _ in range(updates_per_epoch):
                 idx = self.dataset.step_indices(cfg.batch_size, accum)
-                self.state, loss = self.train_step(
-                    self.state, self.dataset.data, idx, self.scheduler.lr_scale
-                )
+                if self.mesh is not None:
+                    self.state, loss = self._run_sharded_step(idx)
+                else:
+                    self.state, loss = self.train_step(
+                        self.state, self.dataset.data, idx,
+                        self.scheduler.lr_scale,
+                    )
                 running += float(loss)
             train_loss = running / updates_per_epoch
             train_losses.append(train_loss)
@@ -221,6 +247,25 @@ class Trainer:
             "val_loss": val_losses,
             "l2": l2_means,
         }
+
+    def _run_sharded_step(self, idx: np.ndarray):
+        """Gather (accum, B, ...) microbatches and run the mesh step."""
+        import jax.numpy as jnp
+
+        from ..parallel.sharded import shard_microbatches
+
+        ids = jnp.asarray(idx)
+        batch = {
+            "image": jnp.take(self.dataset.data["box"], ids, axis=0),
+            "confmaps": jnp.take(self.dataset.data["confmaps"], ids, axis=0),
+        }
+        for k in ("P", "P_inv"):
+            if k in self.dataset.data:
+                batch[k] = jnp.take(self.dataset.data[k], ids, axis=0)
+        batch = shard_microbatches(self.mesh, batch)
+        return self._sharded_step(
+            self.state, batch, jnp.asarray(self.scheduler.lr_scale)
+        )
 
     # ------------------------------------------------------------------
     def evaluate(self) -> tuple[float, np.ndarray, np.ndarray]:

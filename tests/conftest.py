@@ -17,10 +17,18 @@ import jax
 import numpy as np
 import pytest
 
+# The environment's sitecustomize may have imported jax (and captured
+# JAX_PLATFORMS=axon) before this conftest ran — force CPU through the live
+# config, not just the env var.
+jax.config.update("jax_platforms", "cpu")
+
 # Persistent compilation cache: the suite recompiles many small jitted fns;
 # caching cuts repeat runs from minutes to seconds.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+assert jax.devices()[0].platform == "cpu", "tests must run on CPU devices"
+assert len(jax.devices()) >= 8, "virtual 8-device mesh missing (XLA_FLAGS)"
 
 
 @pytest.fixture

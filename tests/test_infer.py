@@ -1,0 +1,89 @@
+"""Inference pipeline: chunked Predictor, movie path, 3D lifting, eval.
+
+The rebuild's first-class inference surface (SURVEY §3.5 — the reference has
+no predict entry point; this is its formalisation)."""
+
+import numpy as np
+import pytest
+
+from pose_estimation_amitai_tpu.config import Config
+from pose_estimation_amitai_tpu.data.synthetic import make_synthetic_arrays
+from pose_estimation_amitai_tpu.infer import Predictor, evaluate_l2, lift_to_3d
+from pose_estimation_amitai_tpu.models import build_model
+from pose_estimation_amitai_tpu.ops import geometry
+
+import jax
+import jax.numpy as jnp
+
+HW, IN_CH, OUT_CH = 48, 4, 6
+
+
+@pytest.fixture(scope="module")
+def predictor():
+    cfg = Config(num_base_filters=8)
+    model = build_model(cfg, (HW, HW, IN_CH), OUT_CH)
+    params = model.init(
+        {"params": jax.random.key(0)},
+        jnp.zeros((1, HW, HW, IN_CH)), train=False,
+    )["params"]
+    return Predictor(cfg, params, (HW, HW, IN_CH), OUT_CH, chunk_size=4)
+
+
+def test_chunk_padding_consistency(predictor):
+    """Decodes must be identical whether or not the tail chunk is padded."""
+    rng = np.random.default_rng(0)
+    frames = rng.random((10, HW, HW, IN_CH)).astype(np.float32)
+    pts = predictor(frames)  # 2 full chunks + padded tail of 2
+    assert pts.shape == (10, 3, OUT_CH)
+    pts_movie = predictor.predict_movie(frames)
+    np.testing.assert_allclose(pts, pts_movie, atol=1e-5)
+
+
+def test_heatmap_return():
+    cfg = Config(num_base_filters=8)
+    model = build_model(cfg, (HW, HW, IN_CH), OUT_CH)
+    params = model.init(
+        {"params": jax.random.key(0)},
+        jnp.zeros((1, HW, HW, IN_CH)), train=False,
+    )["params"]
+    p = Predictor(cfg, params, (HW, HW, IN_CH), OUT_CH, chunk_size=4,
+                  return_heatmaps=True)
+    frames = np.random.default_rng(1).random((5, HW, HW, IN_CH)).astype(np.float32)
+    maps, pts = p(frames)
+    assert maps.shape == (5, HW, HW, OUT_CH)
+    assert pts.shape == (5, 3, OUT_CH)
+
+
+def test_lift_to_3d_recovers_synthetic_geometry():
+    """Project synthetic 3D points through the synthetic cameras, decode the
+    crop-local ground-truth peaks, and triangulate back: the lift must
+    recover points_3D to sub-millimetre accuracy."""
+    arrs = make_synthetic_arrays(num_frames=4, num_points=6, seed=3)
+    confmaps = arrs["confmaps"]  # (F, 4, H, W, K)
+    f, ncams, h, w, k = confmaps.shape
+    # ground-truth crop-local peaks from the synthetic confmaps
+    from pose_estimation_amitai_tpu.ops import peaks as peaks_ops
+
+    flat = confmaps.reshape(-1, h, w, k)
+    pts = np.asarray(peaks_ops.find_peaks(jnp.asarray(flat)))  # (F*4, K, 2)
+    pts = pts.reshape(f, ncams, k, 2)
+    lifted = lift_to_3d(pts, arrs["cropZone"], arrs["cameras_dlt_array"])
+    err = np.linalg.norm(lifted - arrs["points_3D"], axis=-1)
+    # synthetic flies are ~20mm; peaks quantised to integer pixels
+    assert np.median(err) < 5e-4, f"median 3D error {np.median(err)}"
+
+
+def test_evaluate_l2_perfect_predictor_is_zero(predictor):
+    """Evaluating against the model's own outputs gives L2 == 0."""
+    rng = np.random.default_rng(2)
+    frames = rng.random((6, HW, HW, IN_CH)).astype(np.float32)
+    # use model outputs as "ground truth" confmaps: distances must be 0
+    cfg = Config(num_base_filters=8)
+    model = build_model(cfg, (HW, HW, IN_CH), OUT_CH)
+    heat = np.asarray(
+        model.apply({"params": predictor.params}, jnp.asarray(frames),
+                    train=False)
+    )
+    stats = evaluate_l2(predictor, frames, heat)
+    assert stats["l2_mean"] == 0.0
+    assert len(stats["l2_per_point"]) == OUT_CH

@@ -1,0 +1,73 @@
+"""Device dataset: split semantics, epoch batch ring, gather.
+
+Parity targets: pytorch/Datagenerators.py:39-65 (wrap-around index ring) and
+:109-115 (val split)."""
+
+import numpy as np
+
+from pose_estimation_amitai_tpu.config import Config
+from pose_estimation_amitai_tpu.data.pipeline import DeviceDataset, build_dataset
+from pose_estimation_amitai_tpu.data.synthetic import make_synthetic_arrays
+
+
+def _dataset(n=10, val_fraction=0.3):
+    rng = np.random.default_rng(0)
+    data = {
+        "box": rng.random((n, 8, 8, 4)).astype(np.float32),
+        "confmaps": rng.random((n, 8, 8, 3)).astype(np.float32),
+    }
+    cfg = Config(val_fraction=val_fraction, seed=1)
+    return DeviceDataset(cfg, data), data
+
+
+def test_split_disjoint_and_complete():
+    ds, _ = _dataset(10, 0.3)
+    assert len(ds.val_inds) == 3
+    assert len(ds.train_inds) == 7
+    assert set(ds.val_inds) | set(ds.train_inds) == set(range(10))
+    assert not set(ds.val_inds) & set(ds.train_inds)
+
+
+def test_epoch_ring_wraps_and_covers():
+    ds, _ = _dataset(10, 0.3)  # 7 train samples
+    ds.shuffle_train_indices()
+    seen = []
+    for _ in range(3):  # 3 batches of 4 > 7 -> wrap
+        seen.extend(ds.next_batch_indices(4).tolist())
+    assert len(seen) == 12
+    # first 7 draws cover every train index exactly once
+    assert sorted(seen[:7]) == sorted(ds.train_inds.tolist())
+    # all draws stay within the train split
+    assert set(seen) <= set(ds.train_inds.tolist())
+
+
+def test_step_indices_shape():
+    ds, _ = _dataset(10)
+    idx = ds.step_indices(batch_size=3, accum_steps=2)
+    assert idx.shape == (2, 3)
+    assert idx.dtype == np.int32
+
+
+def test_gather_matches_source():
+    ds, data = _dataset(10)
+    ids = np.asarray([2, 5], np.int32)
+    batch = ds.gather(ids)
+    np.testing.assert_allclose(np.asarray(batch["image"]), data["box"][[2, 5]])
+    np.testing.assert_allclose(
+        np.asarray(batch["confmaps"]), data["confmaps"][[2, 5]]
+    )
+
+
+def test_build_dataset_flagship_per_wing():
+    """build_dataset on the flagship model yields per-wing samples with
+    4-channel inputs (3 time + 1 mask) — reference do_preprocess_18_pnts."""
+    arrays = make_synthetic_arrays(num_frames=4, num_points=8, image_size=48)
+    cfg = Config(batch_size=2, val_fraction=0.5)
+    ds, pre = build_dataset(cfg, arrays)
+    box = np.asarray(ds.data["box"])
+    cm = np.asarray(ds.data["confmaps"])
+    assert box.shape[0] == cm.shape[0]
+    assert box.shape[-1] == 4
+    assert box.shape[1:3] == (48, 48)
+    # per-wing: half the wing points + head/tail
+    assert cm.shape[-1] == 8 // 2 + 2

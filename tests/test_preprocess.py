@@ -1,0 +1,93 @@
+"""Offline preprocessing semantics vs the reference's contracts."""
+
+import numpy as np
+import pytest
+
+from pose_estimation_amitai_tpu import constants as C
+from pose_estimation_amitai_tpu.config import Config
+from pose_estimation_amitai_tpu.data.preprocess import Preprocessor
+from pose_estimation_amitai_tpu.data.synthetic import make_synthetic_arrays
+
+
+@pytest.fixture(scope="module")
+def arrays():
+    return make_synthetic_arrays(num_frames=5, num_points=8, image_size=48,
+                                 seed=1)
+
+
+def _pre(arrays, model_type, **kw):
+    cfg = Config(model_type=model_type, **kw)
+    p = Preprocessor(cfg, {k: v.copy() for k, v in arrays.items()})
+    p.do_preprocess()
+    return p
+
+
+def test_per_wing_split_shapes(arrays):
+    p = _pre(arrays, C.MODEL_18_POINTS_PER_WING)
+    box, cm = p.get_box(), p.get_confmaps()
+    # 2 wings x 5 frames x 4 cams samples; 4 = 3 time + 1 mask channels
+    assert box.shape == (2 * 5 * 4, 48, 48, 4)
+    # half the wing points + head/tail
+    assert cm.shape == (2 * 5 * 4, 48, 48, 4 + 2)
+    assert box.dtype == np.float32
+    assert 0.0 <= box.min() and box.max() <= 1.0
+
+
+def test_mask_matches_wing_confmaps(arrays):
+    """Each per-wing sample's mask must cover its own wing's peaks
+    (split_per_wing contract, pytorch/preprocessor.py:151-269)."""
+    p = _pre(arrays, C.MODEL_18_POINTS_PER_WING)
+    box, cm = p.get_box(), p.get_confmaps()
+    covered = 0
+    for s in range(box.shape[0]):
+        mask = box[s, :, :, 3] > 0
+        wing_cm = cm[s, :, :, :-2]
+        ys, xs, _ = np.unravel_index(
+            np.argmax(wing_cm.reshape(-1, wing_cm.shape[-1]), axis=0)
+            * wing_cm.shape[-1] + np.arange(wing_cm.shape[-1]),
+            wing_cm.shape,
+        )
+        hits = mask[ys, xs].mean()
+        covered += hits
+    # synthetic masks are coarse ellipses; most peaks must fall inside
+    assert covered / box.shape[0] > 0.6
+
+
+def test_all_cams_18_points(arrays):
+    p = _pre(arrays, C.ALL_CAMS_18_POINTS)
+    box, cm = p.get_box(), p.get_confmaps()
+    assert box.shape == (2 * 5, 48, 48, 4 * 4)
+    assert cm.shape == (2 * 5, 48, 48, 4 * (4 + 2))
+
+
+def test_head_tail_per_cam(arrays):
+    p = _pre(arrays, C.HEAD_TAIL_PER_CAM)
+    box, cm = p.get_box(), p.get_confmaps()
+    assert box.shape == (5 * 4, 48, 48, 3)  # time channels only
+    assert cm.shape == (5 * 4, 48, 48, 2)  # head + tail
+
+
+def test_head_tail_all_cams(arrays):
+    p = _pre(arrays, C.HEAD_TAIL_ALL_CAMS)
+    box, cm = p.get_box(), p.get_confmaps()
+    assert box.shape == (5, 48, 48, 4 * 5)
+    assert cm.shape == (5, 48, 48, 4 * 2)
+
+
+def test_three_good_cameras(arrays):
+    p = _pre(arrays, C.MODEL_18_POINTS_3_GOOD_CAMERAS)
+    box, cm = p.get_box(), p.get_confmaps()
+    assert box.shape == (2 * 5 * 3, 48, 48, 4)
+    assert cm.shape[0] == 2 * 5 * 3
+
+
+def test_debug_mode_truncates():
+    arrays = make_synthetic_arrays(num_frames=14, num_points=8, image_size=48)
+    p = _pre(arrays, C.MODEL_18_POINTS_PER_WING, debug_mode=True)
+    # 10-frame truncation (pytorch/preprocessor.py:42-51) -> 2*10*4 samples
+    assert p.get_box().shape[0] == 2 * 10 * 4
+
+
+def test_curriculum_sorting(arrays):
+    p = _pre(arrays, C.PER_WING_MODEL, do_curriculum_learning=True)
+    assert p.get_box().shape[0] == 2 * 5 * 4

@@ -1,0 +1,78 @@
+"""Self-supervised inpainting pretraining (reference:
+pytorch/self supervision/train_self_supervision.py)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pose_estimation_amitai_tpu.config import Config
+from pose_estimation_amitai_tpu.train.selfsup import (
+    SelfSupTrainer,
+    create_holes,
+    select_wing_channel,
+)
+
+HW = 48
+
+
+def _crops(n=12, hw=HW, seed=0):
+    """(N, hw, hw, 5) synthetic crops: 3 blobby time channels + 2 masks."""
+    rng = np.random.default_rng(seed)
+    crops = np.zeros((n, hw, hw, 5), np.float32)
+    ys, xs = np.mgrid[0:hw, 0:hw]
+    for i in range(n):
+        cy, cx = rng.integers(16, hw - 16, 2)
+        blob = np.exp(-((ys - cy) ** 2 + (xs - cx) ** 2) / (2 * 8.0**2))
+        crops[i, ..., :3] = blob[..., None]
+        crops[i, ..., 3] = ((np.abs(ys - cy) < 10) & (xs < cx)).astype(np.float32)
+        crops[i, ..., 4] = ((np.abs(ys - cy) < 10) & (xs >= cx)).astype(np.float32)
+    return crops
+
+
+def test_select_wing_channel_shapes_and_content():
+    crops = jnp.asarray(_crops(8))
+    out = select_wing_channel(jax.random.key(0), crops)
+    assert out.shape == (8, HW, HW, 4)
+    np.testing.assert_allclose(out[..., :3], crops[..., :3])
+    # each sample's mask channel equals one of the two input masks
+    for i in range(8):
+        m = np.asarray(out[i, ..., 3])
+        a = np.asarray(crops[i, ..., 3])
+        b = np.asarray(crops[i, ..., 4])
+        assert np.array_equal(m, a) or np.array_equal(m, b)
+
+
+def test_create_holes_zeroes_pixels_only():
+    crops = _crops(6)
+    imgs = jnp.asarray(
+        np.concatenate([crops[..., :3], crops[..., 3:4]], axis=-1)
+    )
+    holed = np.asarray(create_holes(jax.random.key(1), imgs))
+    orig = np.asarray(imgs)
+    # holed is orig with some pixels zeroed — never altered otherwise
+    changed = holed != orig
+    assert np.all(holed[changed] == 0.0)
+    # at least one hole actually landed on nonzero content per sample
+    for i in range(6):
+        assert changed[i].any(), "no hole punched"
+    # all channels zeroed together at hole pixels
+    hole_px = changed.any(axis=-1)
+    assert np.all(holed[hole_px] == 0.0)
+
+
+def test_pretrain_smoke_and_checkpoint(tmp_path):
+    cfg = Config(
+        epochs=2, batch_size=4, batches_per_epoch=2, num_base_filters=8,
+        base_output_path=str(tmp_path), do_augmentations=True,
+        rotation_range=10.0, xy_shifts=2.0, seed=0,
+    )
+    trainer = SelfSupTrainer(cfg, _crops(10))
+    history = trainer.train()
+    assert len(history["train_loss"]) == 2
+    assert all(np.isfinite(v) for v in history["train_loss"])
+    run = trainer.run_path
+    import os
+
+    assert os.path.exists(os.path.join(run, "checkpoint.msgpack"))
+    assert os.path.exists(os.path.join(run, "configuration.json"))
