@@ -78,6 +78,7 @@ def _preprocessed(args):
         image_shape=tuple(box.shape[1:]),
         num_output_channels=confmaps.shape[-1],
         chunk_size=args.chunk_size,
+        decode=getattr(args, "decode", "argmax"),
     )
     return cfg, pre, box, confmaps, predictor
 
@@ -146,6 +147,10 @@ def main(argv: list[str] | None = None) -> int:
         if name == "infer":
             s.add_argument("out", nargs="?", default="")
         s.add_argument("--chunk-size", type=int, default=256)
+        s.add_argument(
+            "--decode", choices=("argmax", "soft"), default="argmax",
+            help="peak decoder: hard argmax or differentiable soft-argmax",
+        )
         s.set_defaults(fn=fn)
 
     args = p.parse_args(argv)

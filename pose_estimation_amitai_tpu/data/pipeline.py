@@ -117,6 +117,69 @@ def _camera_matrix_arrays(
     return np.asarray(P), np.asarray(P_inv)
 
 
+def estimate_cameras_from_peaks(
+    confmaps: np.ndarray, cropzone: np.ndarray, points_3d: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-frame DLT camera estimation from decoded ground-truth peaks.
+
+    Host twin of the TF ``CustomDataGenerator`` camera-matrix mode
+    (tensorflow/Custom_data_generator.py:216-241): for every frame and
+    camera, estimate a 3x4 projection matrix by SVD from the (3D point,
+    decoded+uncropped 2D peak) correspondences, plus its pseudo-inverse.
+    Alternative to :func:`_camera_matrix_arrays` (which decomposes the H5's
+    calibrated DLT cameras instead); useful when ``cameras_dlt_array`` is
+    absent or mistrusted.
+
+    Args:
+      confmaps: (F, cams, H, W, K) raw maps whose channel order matches
+        ``points_3d``; cropzone: (F, cams, 2); points_3d: (F, K, 3).
+
+    Returns (F, cams, 3, 4) cameras and (F, cams, 4, 3) pseudo-inverses.
+    """
+    from .preprocess import find_peaks_np
+
+    frames, ncams = confmaps.shape[:2]
+    pts3d = points_3d
+
+    flat = confmaps.reshape((-1,) + confmaps.shape[2:])
+    peaks2d = find_peaks_np(flat)[:, :2, :]  # (F*cams, 2, K)
+    peaks2d = np.transpose(
+        peaks2d.reshape(frames, ncams, 2, -1), (0, 1, 3, 2)
+    )  # (F, cams, K, 2)
+
+    k = min(pts3d.shape[1], peaks2d.shape[2])
+    h, w = confmaps.shape[2:4]
+    full = np.asarray(
+        jax.vmap(geometry.uncrop_points)(
+            jnp.asarray(peaks2d[:, :, :k], jnp.float32),
+            jnp.asarray(cropzone, jnp.float32),
+        )
+    )  # (F, cams, K, 2) full-sensor coords
+
+    P = np.zeros((frames, ncams, 3, 4), np.float32)
+    P_inv = np.zeros((frames, ncams, 4, 3), np.float32)
+    for f in range(frames):
+        for c in range(ncams):
+            # drop border-clipped decodes (peak outside the crop window) —
+            # they are gross outliers that skew the unweighted DLT fit
+            crop_local = peaks2d[f, c, :k]
+            ok = (
+                (crop_local[:, 0] > 0) & (crop_local[:, 0] < w - 1)
+                & (crop_local[:, 1] > 0) & (crop_local[:, 1] < h - 1)
+            )
+            if ok.sum() < 6:  # DLT needs >= 6 correspondences
+                ok = np.ones(k, bool)
+            Pfc = np.asarray(
+                geometry.estimate_projection_dlt(
+                    jnp.asarray(pts3d[f, :k][ok], jnp.float32),
+                    jnp.asarray(full[f, c][ok], jnp.float32),
+                )
+            )
+            P[f, c] = Pfc
+            P_inv[f, c] = np.linalg.pinv(Pfc)
+    return P, P_inv
+
+
 def build_dataset(
     cfg: Config,
     arrays: dict[str, np.ndarray] | None = None,

@@ -45,7 +45,10 @@ class Predictor:
         chunk_size: int = 256,
         return_heatmaps: bool = False,
         use_fused: bool = False,
+        decode: str = "argmax",
     ):
+        """``decode``: 'argmax' (tf_find_peaks parity) or 'soft' — the
+        differentiable soft-argmax decoder (pytorch/utils.py:47-83)."""
         self.cfg = cfg
         self.model = build_model(cfg, image_shape, num_output_channels)
         self.params = params
@@ -69,7 +72,15 @@ class Predictor:
         @jax.jit
         def _run(params, frames):
             maps = forward(params, frames)
-            pts = peaks.find_peaks_with_vals(maps)  # (B, 3, K)
+            if decode == "soft":
+                xy = peaks.find_peaks_soft_argmax(maps)  # (B, K, 2)
+                vals = jnp.max(maps.reshape(maps.shape[0], -1,
+                                            maps.shape[-1]), axis=1)
+                pts = jnp.concatenate(
+                    [jnp.transpose(xy, (0, 2, 1)), vals[:, None, :]], axis=1
+                )
+            else:
+                pts = peaks.find_peaks_with_vals(maps)  # (B, 3, K)
             if return_heatmaps:
                 return maps, pts
             return pts

@@ -58,6 +58,46 @@ def test_gather_matches_source():
     )
 
 
+def test_estimate_cameras_from_peaks():
+    """DLT cameras re-estimated from decoded GT peaks must reproject the
+    3D points close to the decoded peaks (CustomDataGenerator parity,
+    tensorflow/Custom_data_generator.py:216-241)."""
+    import jax.numpy as jnp
+
+    from pose_estimation_amitai_tpu.data.pipeline import (
+        estimate_cameras_from_peaks,
+    )
+    from pose_estimation_amitai_tpu.data.preprocess import Preprocessor
+    from pose_estimation_amitai_tpu.ops import geometry
+
+    arrays = make_synthetic_arrays(num_frames=3, num_points=8, image_size=96)
+    confmaps = arrays["confmaps"]
+    cropzone = arrays["cropZone"]
+    pts3d = arrays["points_3D"]
+    P, P_inv = estimate_cameras_from_peaks(confmaps, cropzone, pts3d)
+    assert P.shape == (3, 4, 3, 4)
+    assert P_inv.shape == (3, 4, 4, 3)
+    # reproject: estimated cameras must map the 3D points back onto the
+    # decoded full-sensor peaks (integer-pixel decode tolerance)
+    from pose_estimation_amitai_tpu.data.preprocess import find_peaks_np
+
+    for f in range(3):
+        for c in range(4):
+            pk = find_peaks_np(confmaps[f : f + 1, c])[0, :2, :].T  # (K, 2)
+            full = np.asarray(
+                geometry.uncrop_points(
+                    jnp.asarray(pk, jnp.float32),
+                    jnp.asarray(cropzone[f, c], jnp.float32),
+                )
+            )
+            proj = np.asarray(
+                geometry.reproject(jnp.asarray(P[f, c]),
+                                   jnp.asarray(pts3d[f]))
+            )
+            err = np.linalg.norm(proj - full, axis=-1)
+            assert np.median(err) < 3.0, np.median(err)
+
+
 def test_build_dataset_flagship_per_wing():
     """build_dataset on the flagship model yields per-wing samples with
     4-channel inputs (3 time + 1 mask) — reference do_preprocess_18_pnts."""
