@@ -85,7 +85,10 @@ class Trainer:
             else len(jax.devices())
         )
         self.mesh = None
-        if n_dev > 1 and cfg.batch_size % n_dev == 0:
+        has_bn = bool(self.state.batch_stats)
+        # (BatchNorm models keep the single-device step: cross-chip running
+        # stats need a psum'd BN, not yet wired into the sharded step.)
+        if n_dev > 1 and cfg.batch_size % n_dev == 0 and not has_bn:
             from ..parallel.mesh import make_mesh
             from ..parallel.sharded import (
                 make_sharded_train_step,
@@ -177,6 +180,7 @@ class Trainer:
         l2_means: list[float] = []
         l2_stds: list[float] = []
         l2_max: list[float] = []
+        epoch_secs: list[float] = []
 
         accum = max(1, cfg.accumulation_steps)
         updates_per_epoch = max(1, self.batches_per_epoch // accum)
@@ -187,6 +191,7 @@ class Trainer:
 
         for epoch in range(self.start_epoch, cfg.epochs):
             print(f"Epoch {epoch + 1}/{cfg.epochs}", flush=True)
+            t_epoch = time()
             self.dataset.shuffle_train_indices()
             running = 0.0
             for _ in range(updates_per_epoch):
@@ -212,6 +217,7 @@ class Trainer:
             l2_means.append(float(np.mean(l2_all)))
             l2_stds.append(float(np.std(l2_all)))
             l2_max.append(float(np.max(l2_all)))
+            epoch_secs.append(time() - t_epoch)
 
             if val_loss < self.best_loss:
                 self.best_loss = val_loss
@@ -233,7 +239,7 @@ class Trainer:
 
             self._save_epoch_artifacts(
                 epoch, train_losses, val_losses, l2_means, l2_stds, l2_max,
-                l2_all, l2_per_point,
+                l2_all, l2_per_point, epoch_secs,
             )
 
         if profiler_ctx:
@@ -285,21 +291,23 @@ class Trainer:
 
     def _save_epoch_artifacts(
         self, epoch, train_losses, val_losses, l2_means, l2_stds, l2_max,
-        l2_all, l2_per_point,
+        l2_all, l2_per_point, epoch_secs=(),
     ) -> None:
         rp = self.run_path
-        # losses.csv (pytorch/train_pytorch.py:262-283)
+        # losses.csv (pytorch/train_pytorch.py:262-283) + per-epoch timing
+        # (SURVEY §5 tracing row: per-step timing in the metrics writer)
         with open(os.path.join(rp, "losses.csv"), "w", newline="") as f:
             w = csv.writer(f)
             w.writerow(
                 ["Epoch", "Train Loss", "Val Loss", "L2 Loss", "L2 Std",
-                 "L2 Max Outlier"]
+                 "L2 Max Outlier", "Epoch Seconds"]
             )
             for i in range(len(train_losses)):
+                secs = epoch_secs[i] if i < len(epoch_secs) else float("nan")
                 w.writerow(
                     [i + 1, f"{train_losses[i]:.4g}", f"{val_losses[i]:.4g}",
                      f"{l2_means[i]:.4g}", f"{l2_stds[i]:.4g}",
-                     f"{l2_max[i]:.4g}"]
+                     f"{l2_max[i]:.4g}", f"{secs:.2f}"]
                 )
         # history.csv (tensorflow/CallBacks.py:17-33)
         with open(os.path.join(rp, "history.csv"), "w", newline="") as f:

@@ -54,6 +54,25 @@ def test_heatmap_return():
     assert pts.shape == (5, 3, OUT_CH)
 
 
+def test_soft_argmax_decode_option():
+    cfg = Config(num_base_filters=8)
+    model = build_model(cfg, (HW, HW, IN_CH), OUT_CH)
+    params = model.init(
+        {"params": jax.random.key(0)},
+        jnp.zeros((1, HW, HW, IN_CH)), train=False,
+    )["params"]
+    p = Predictor(cfg, params, (HW, HW, IN_CH), OUT_CH, chunk_size=4,
+                  decode="soft")
+    frames = np.random.default_rng(3).random((5, HW, HW, IN_CH)).astype(
+        np.float32
+    )
+    pts = p(frames)
+    assert pts.shape == (5, 3, OUT_CH)
+    # soft-argmax coordinates stay within image bounds (clamped)
+    assert (pts[:, 0] >= 0).all() and (pts[:, 0] <= HW - 1).all()
+    assert (pts[:, 1] >= 0).all() and (pts[:, 1] <= HW - 1).all()
+
+
 def test_lift_to_3d_recovers_synthetic_geometry():
     """Project synthetic 3D points through the synthetic cameras, decode the
     crop-local ground-truth peaks, and triangulate back: the lift must

@@ -61,6 +61,39 @@ def test_create_holes_zeroes_pixels_only():
     assert np.all(holed[hole_px] == 0.0)
 
 
+def test_pretrain_then_finetune_loads_encoder(tmp_path):
+    """Self-supervised weights re-head a supervised model via
+    pretrained_encoder_path (PretrainedLEAP parity, NNs.py:38-62)."""
+    import numpy as np
+
+    from pose_estimation_amitai_tpu.data.synthetic import make_synthetic_arrays
+    from pose_estimation_amitai_tpu.train.trainer import Trainer
+
+    cfg = Config(
+        epochs=1, batch_size=4, batches_per_epoch=1, num_base_filters=8,
+        base_output_path=str(tmp_path), do_augmentations=False, seed=0,
+    )
+    pre = SelfSupTrainer(cfg, _crops(8))
+    pre.train()
+    ckpt = pre.run_path  # directory containing best_model.msgpack
+
+    arrays = make_synthetic_arrays(num_frames=4, num_points=8, image_size=48)
+    ft_cfg = cfg.replace(
+        pretrained_encoder_path=ckpt, epochs=1, batches_per_epoch=1,
+        val_fraction=0.5,
+    )
+    trainer = Trainer(ft_cfg, arrays=arrays)
+    # the fine-tuned model's encoder == the pretrained encoder weights
+    pre_enc = pre.state.params["encoder"]
+    ft_enc = trainer.state.params["encoder"]
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(ft_enc)[0]),
+        np.asarray(jax.tree_util.tree_leaves(pre_enc)[0]),
+    )
+    history = trainer.train()
+    assert np.isfinite(history["train_loss"][0])
+
+
 def test_pretrain_smoke_and_checkpoint(tmp_path):
     cfg = Config(
         epochs=2, batch_size=4, batches_per_epoch=2, num_base_filters=8,

@@ -50,7 +50,7 @@ def test_train_artifacts_and_resume(tmp_path, arrays):
     with open(os.path.join(rp, "losses.csv")) as f:
         header = f.readline().strip().split(",")
     assert header == ["Epoch", "Train Loss", "Val Loss", "L2 Loss", "L2 Std",
-                      "L2 Max Outlier"]
+                      "L2 Max Outlier", "Epoch Seconds"]
 
     # -- true resume: continue 2 more epochs from the checkpoint ----------
     cfg2 = _cfg(tmp_path, epochs=4, resume_from=rp)
