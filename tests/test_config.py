@@ -77,6 +77,18 @@ def test_defaults_and_replace():
     assert cfg.epochs == 50  # frozen original untouched
 
 
+def test_shipped_config_files_load():
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    cfg = Config.from_json(os.path.join(root, "train_config.json"))
+    assert cfg.model_type == "MODEL_18_POINTS_PER_WING"
+    assert cfg.num_base_filters == 64
+    assert cfg.rotation_range == 180.0
+    cfg2 = Config.from_json(os.path.join(root, "selfsup_config.json"))
+    assert cfg2.batch_size == 10
+
+
 def test_underscore_spellings():
     cfg = Config.from_dict({"batch size": 3, "patch_size": 4, "learning_rate": 0.1})
     assert cfg.batch_size == 3
