@@ -88,6 +88,22 @@ def test_debug_mode_truncates():
     assert p.get_box().shape[0] == 2 * 10 * 4
 
 
+def test_fix_movie_masks_fills_from_neighbours(arrays):
+    cfg = Config(model_type=C.MODEL_18_POINTS_PER_WING)
+    p = Preprocessor(cfg, {k: v.copy() for k, v in arrays.items()})
+    box = p.box.copy()
+    # blank the left wing mask of frame 2, camera 1
+    t = p.num_time_channels
+    box[2, 1, :, :, t] = 0.0
+    fixed, problematic = p.fix_movie_masks(box)
+    assert (2, 1, 0) in problematic
+    repaired = fixed[2, 1, :, :, t]
+    assert repaired.any(), "mask not repaired"
+    # union of the neighbour masks, binarised
+    neighbours = (p.box[1, 1, :, :, t] + p.box[3, 1, :, :, t] > 0)
+    np.testing.assert_array_equal(repaired > 0, neighbours)
+
+
 def test_curriculum_sorting(arrays):
     p = _pre(arrays, C.PER_WING_MODEL, do_curriculum_learning=True)
     assert p.get_box().shape[0] == 2 * 5 * 4
