@@ -30,7 +30,8 @@ import jax.numpy as jnp
 BASELINE_FPS = 5000.0
 
 
-def _measure(fn, params, chunks, trials=3):
+def _measure(fn, params, chunks, trials=3, budget_s=240.0):
+    t_start = time.perf_counter()
     np.asarray(fn(params, chunks[0]))  # compile + warm
     best = 0.0
     n = sum(c.shape[0] for c in chunks)
@@ -40,6 +41,8 @@ def _measure(fn, params, chunks, trials=3):
         for o in outs:
             np.asarray(o)  # fetch decoded keypoints (B, 3, K) — tiny
         best = max(best, n / (time.perf_counter() - t0))
+        if time.perf_counter() - t_start > budget_s:
+            break  # degraded backend — don't burn the driver's time budget
     return best
 
 
@@ -78,11 +81,15 @@ def main() -> None:
         for _ in range(n_chunks)
     ]
 
+    t0 = time.perf_counter()
     fps_xla = _measure(infer_xla, params, chunks)
-    try:
-        fps_fused = _measure(infer_fused, params, chunks)
-    except Exception:
-        fps_fused = 0.0
+    xla_took = time.perf_counter() - t0
+    fps_fused = 0.0
+    if xla_took < 300.0:  # skip the second path on a degraded backend
+        try:
+            fps_fused = _measure(infer_fused, params, chunks)
+        except Exception:
+            fps_fused = 0.0
     fps = max(fps_xla, fps_fused)
 
     print(

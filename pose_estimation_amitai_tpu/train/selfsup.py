@@ -209,7 +209,8 @@ class SelfSupTrainer:
 
         @jax.jit
         def eval_step(state: TrainState, data, ids):
-            key = jax.random.fold_in(state.rng, -1)  # fixed val holes
+            # fixed fold constant -> deterministic validation holes
+            key = jax.random.fold_in(state.rng, 0x7FFFFFFF)
             box = jnp.take(data, ids, axis=0)
             holed, clean = prepare(key, box)
             recon = model.apply({"params": state.params}, holed, train=False)
