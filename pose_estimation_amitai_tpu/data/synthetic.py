@@ -125,12 +125,21 @@ def make_synthetic_arrays(
                 confmaps[f, c, :, :, p] = _gaussian(
                     h, w, y_local[p], x_local[p], sigma
                 )
-            # time channels: blurry fly blob at 3 nearby times
+            # time channels: blurry fly blob at 3 nearby times, plus sharp
+            # per-keypoint features so the frames actually carry the
+            # information needed to localise keypoints (real frames show
+            # wing veins/edges at the annotated points — without this the
+            # regression task would be unlearnable by construction)
             body_y = np.mean(y_local)
             body_x = np.mean(x_local)
             for t in range(num_time_channels):
                 jitter = (t - num_time_channels // 2) * 1.5
-                blob = _gaussian(h, w, body_y + jitter, body_x + jitter, 14.0)
+                blob = 0.5 * _gaussian(h, w, body_y + jitter, body_x + jitter, 14.0)
+                for p in range(n_all):
+                    blob += 0.9 * _gaussian(
+                        h, w, y_local[p] + jitter * 0.3,
+                        x_local[p] + jitter * 0.3, 1.6,
+                    )
                 box[f, c, :, :, t] = np.clip(blob, 0, 1)
             # wing masks: ellipses covering each wing's peaks
             for wi in range(2):
