@@ -40,9 +40,11 @@ def encoder_stage_params(params: dict) -> list[dict]:
 
 
 def basicnet_apply_fused(
-    model: BasicNet, params: dict, x: jax.Array, *, interpret: bool = False
+    model: BasicNet, params: dict, x: jax.Array, *, interpret: bool = False,
+    fuse_decoder: bool = True,
 ) -> jax.Array:
-    """Forward ``BasicNet`` with the fused encoder kernel (inference only).
+    """Forward ``BasicNet`` with the fused encoder (and, when the latent
+    width allows, the fused decoder) kernels — inference only.
 
     Equivalent to ``model.apply({'params': params}, x, train=False)`` for
     torch-flavour models; asserts on unsupported flavours.
@@ -64,18 +66,35 @@ def basicnet_apply_fused(
     # minors once the array exceeds a few MB (batch >= ~8 at 192px), so the
     # encoder maps over batch chunks of <= 8 frames; chunks run
     # back-to-back on device with no host sync.
+    latent_ch = 4 * model.filters
+    use_fused_dec = fuse_decoder and latent_ch % 128 == 0
+
+    def run_chunk(xc):
+        lat = encode(xc)
+        if use_fused_dec:
+            from ..ops.pallas_deconv import fused_decoder
+
+            d = params["decoder"]
+            return fused_decoder(
+                lat,
+                *(jnp.asarray(d[f"deconv{i}"][k]).astype(
+                    dtype if k == "kernel" else jnp.float32
+                ) for i in (1, 2, 3, 4) for k in ("kernel", "bias")),
+                alpha=TORCH_ALPHA, interpret=interpret,
+            )
+        decoder = DecoderUp(
+            model.out_channels, model.filters, model.kernel_size,
+            model.num_blocks, model.flavor, model.dtype,
+        )
+        return decoder.apply({"params": params["decoder"]}, lat)
+
     b = x.shape[0]
     chunk = next(c for c in (8, 4, 2, 1) if b % c == 0)
     x = x.astype(dtype)
     if b == chunk:
-        latent = encode(x)
+        out = run_chunk(x)
     else:
         xr = x.reshape(b // chunk, chunk, *x.shape[1:])
-        latent = jax.lax.map(encode, xr)
-        latent = latent.reshape(b, *latent.shape[2:])
-    decoder = DecoderUp(
-        model.out_channels, model.filters, model.kernel_size,
-        model.num_blocks, model.flavor, model.dtype,
-    )
-    out = decoder.apply({"params": params["decoder"]}, latent)
+        out = jax.lax.map(run_chunk, xr)
+        out = out.reshape(b, *out.shape[2:])
     return out.astype(jnp.float32)

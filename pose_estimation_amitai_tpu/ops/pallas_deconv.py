@@ -1,0 +1,228 @@
+"""Pallas TPU kernel: fully-fused transposed-conv decoder (torch flavour).
+
+Fuses the flagship decoder (models/layers.py DecoderUp, reference:
+pytorch/CNNs.py:92-157 — deconv x2up -> two stride-1 deconvs with skips ->
+deconv x2up head, LeakyReLU everywhere) into one VMEM-resident kernel per
+frame, eliminating the ~5 HBM activation round-trips at 96x96x128.
+
+Math: flax ConvTranspose(k3, s1, SAME) == a plain (unflipped) SAME conv;
+ConvTranspose(k3, s2, SAME) == conv with lhs_dilation=2, padding=(2, 1)
+(verified numerically). The stride-2 layers are computed in *parity-planar*
+form — output phase (a, b) of the 2x-upsampled grid is a small conv of the
+input:
+
+    y[2j,   2l  ] = sum of taps W[{0,2}, {0,2}] at x[j-1 / j, l-1 / l]
+    y[2j+1, 2l  ] = taps W[1, {0,2}]
+    y[2j,   2l+1] = taps W[{0,2}, 1]
+    y[2j+1, 2l+1] = x[j, l] . W[1, 1]
+
+so the whole decoder runs on 48x48 planes: d1 produces 4 parity planes of
+the 96-grid; d2/d3 (stride-1 convs on the 96-grid) become 9-tap plane-mixing
+contractions; d4 produces the 16 phase planes of the 192-grid. Phases are
+emitted as 16 separate (B, 48, 48, 32) outputs (lane-aligned, K padded
+18->32) and interleaved by XLA outside the kernel — in-kernel strided
+sublane writes are miscompiled on this Mosaic build (see pallas_conv.py).
+
+Peak decode / losses consume the XLA-interleaved (B, 192, 192, K) result.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+COL0 = 8  # 8-aligned column origin inside padded scratch planes
+
+
+def _leaky(x, alpha):
+    return jnp.where(x >= 0, x, x * alpha)
+
+
+def _up_taps(parity: int):
+    """Row (or col) taps of a stride-2 k3 ConvTranspose for out parity a.
+
+    Returns a list of (input_index_shift, kernel_row) pairs for
+    y[2j + a] = sum_t x[j + shift_t] . W[row_t]."""
+    if parity == 0:
+        return [(-1, 0), (0, 2)]
+    return [(0, 1)]
+
+
+def _s1_taps(parity: int):
+    """Plane-mixing taps of a stride-1 SAME k3 conv on a 2-interleaved grid.
+
+    For out plane parity ``a`` at index j: source (parity a', shift js) for
+    kernel row dy+1, from 2j + a + dy = 2 j' + a'."""
+    taps = []
+    for dy in (-1, 0, 1):
+        m = parity + dy
+        a_src = m % 2
+        js = (m - a_src) // 2
+        taps.append((a_src, js, dy + 1))
+    return taps
+
+
+def _decoder_kernel(
+    x_ref, w1, b1, w2, b2, w3, b3, w4, b4, *refs,
+    alpha, cin, mid, kout,
+):
+    """One frame: latent (1, R, W, cin) -> 16 phase planes (1, R, W, kout)."""
+    out_refs = refs[:16]
+    lat_ref, p1_ref, p2_ref, p3_ref = refs[16:]
+    r = x_ref.shape[1]
+    wd = x_ref.shape[2]
+    n_ci = cin // LANE
+
+    # stage the latent into a zero-margined scratch (chunked to 128 lanes)
+    lat_ref[:] = jnp.zeros_like(lat_ref)
+    for ci in range(n_ci):
+        lat_ref[ci, 1 : 1 + r, COL0 : COL0 + wd] = x_ref[
+            0, :, :, ci * LANE : (ci + 1) * LANE
+        ]
+    p1_ref[:] = jnp.zeros_like(p1_ref)
+    p2_ref[:] = jnp.zeros_like(p2_ref)
+
+    # ---- d1: stride-2 up, cin -> mid, parity-planar ----------------------
+    for ay in (0, 1):
+        for ax in (0, 1):
+            acc = jnp.zeros((r, wd, mid), jnp.float32)
+            for js, ky in _up_taps(ay):
+                for ls, kx in _up_taps(ax):
+                    for ci in range(n_ci):
+                        tap = lat_ref[
+                            ci, 1 + js : 1 + js + r,
+                            COL0 + ls : COL0 + ls + wd,
+                        ]
+                        acc = acc + jax.lax.dot_general(
+                            tap,
+                            w1[ky, kx, ci * LANE : (ci + 1) * LANE, :],
+                            dimension_numbers=(((2,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+            y = _leaky(acc + b1[:].astype(jnp.float32), alpha)
+            p1_ref[2 * ay + ax, 1 : 1 + r, COL0 : COL0 + wd] = y.astype(
+                p1_ref.dtype
+            )
+
+    # ---- d2, d3: stride-1 convs on the 96-grid, with residual skips ------
+    def s1_conv(src_ref, dst_ref, w, b):
+        for ay in (0, 1):
+            for ax in (0, 1):
+                acc = jnp.zeros((r, wd, mid), jnp.float32)
+                for a_sy, js, ky in _s1_taps(ay):
+                    for a_sx, ls, kx in _s1_taps(ax):
+                        tap = src_ref[
+                            2 * a_sy + a_sx,
+                            1 + js : 1 + js + r,
+                            COL0 + ls : COL0 + ls + wd,
+                        ]
+                        acc = acc + jax.lax.dot_general(
+                            tap, w[ky, kx],
+                            dimension_numbers=(((2,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                y = _leaky(acc + b[:].astype(jnp.float32), alpha)
+                # residual skip (pytorch/CNNs.py:152-153)
+                y = y + src_ref[
+                    2 * ay + ax, 1 : 1 + r, COL0 : COL0 + wd
+                ].astype(jnp.float32)
+                dst_ref[2 * ay + ax, 1 : 1 + r, COL0 : COL0 + wd] = y.astype(
+                    dst_ref.dtype
+                )
+
+    s1_conv(p1_ref, p2_ref, w2, b2)
+    p3_ref[:] = jnp.zeros_like(p3_ref)
+    s1_conv(p2_ref, p3_ref, w3, b3)
+
+    # ---- d4: stride-2 up on the 96-grid -> 16 phases of the 192-grid -----
+    for qy in range(4):
+        a2y, a4y = qy // 2, qy % 2
+        for qx in range(4):
+            a2x, a4x = qx // 2, qx % 2
+            acc = jnp.zeros((r, wd, kout), jnp.float32)
+            # 192-grid row 4j + qy = 2*(2j + a2y) + a4y; the stride-2 taps
+            # act on the 96-grid index m = 2j + a2y.
+            for ms, ky in _up_taps(a4y):
+                # m + ms = 2 j' + a'  ->  source plane parity and shift
+                myy = a2y + ms
+                a_sy, js = myy % 2, (myy - (myy % 2)) // 2
+                for ns, kx in _up_taps(a4x):
+                    mxx = a2x + ns
+                    a_sx, ls = mxx % 2, (mxx - (mxx % 2)) // 2
+                    tap = p3_ref[
+                        2 * a_sy + a_sx,
+                        1 + js : 1 + js + r,
+                        COL0 + ls : COL0 + ls + wd,
+                    ]
+                    acc = acc + jax.lax.dot_general(
+                        tap, w4[ky, kx],
+                        dimension_numbers=(((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+            y = _leaky(acc + b4[:].astype(jnp.float32), alpha)
+            out_refs[qy * 4 + qx][0] = y.astype(out_refs[0].dtype)
+
+
+def fused_decoder(
+    latent: jax.Array,
+    w1, b1, w2, b2, w3, b3, w4, b4,
+    *,
+    alpha: float = 0.1,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused torch-flavour DecoderUp: (B, R, W, cin) -> (B, 4R, 4W, kout).
+
+    Weights are flax ConvTranspose HWIO kernels; kout is padded to a
+    multiple of 32 internally and sliced back.
+    """
+    b, r, wd, cin = latent.shape
+    assert cin % LANE == 0, cin
+    mid = w1.shape[-1]
+    k_real = w4.shape[-1]
+    kout = -(-k_real // 32) * 32
+    if kout != k_real:
+        w4 = jnp.pad(w4, ((0, 0), (0, 0), (0, 0), (0, kout - k_real)))
+        b4 = jnp.pad(b4, (0, kout - k_real))
+
+    wbuf = -(-(wd + 2 * COL0) // 8) * 8
+    kernel = partial(
+        _decoder_kernel, alpha=alpha, cin=cin, mid=mid, kout=kout,
+    )
+    wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec(
+        (1, r, wd, kout), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, r, wd, cin), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ] + [wspec] * 8,
+        out_specs=tuple([out_spec] * 16),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((b, r, wd, kout), latent.dtype)
+            for _ in range(16)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((cin // LANE, r + 2, wbuf, LANE), latent.dtype),
+            pltpu.VMEM((4, r + 2, wbuf, mid), latent.dtype),
+            pltpu.VMEM((4, r + 2, wbuf, mid), latent.dtype),
+            pltpu.VMEM((4, r + 2, wbuf, mid), latent.dtype),
+        ],
+        interpret=interpret,
+    )(latent, w1, b1, w2, b2, w3, b3, w4, b4)
+
+    # interleave the 16 phase planes -> (B, 4R, 4W, k_real), in XLA
+    ph = jnp.stack(outs, axis=1).reshape(b, 4, 4, r, wd, kout)
+    ph = ph[..., :k_real]
+    # y[4j + qy, 4l + qx] = ph[qy, qx, j, l]
+    y = jnp.transpose(ph, (0, 3, 1, 4, 2, 5))  # (B, j, qy, l, qx, k)
+    return y.reshape(b, 4 * r, 4 * wd, k_real)
