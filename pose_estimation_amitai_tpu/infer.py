@@ -46,14 +46,31 @@ class Predictor:
         return_heatmaps: bool = False,
         use_fused: bool = False,
         decode: str = "argmax",
+        mesh=None,
     ):
         """``decode``: 'argmax' (tf_find_peaks parity) or 'soft' — the
-        differentiable soft-argmax decoder (pytorch/utils.py:47-83)."""
+        differentiable soft-argmax decoder (pytorch/utils.py:47-83).
+
+        ``mesh``: optional ``jax.sharding.Mesh`` — frames shard over the
+        ``data`` axis (params replicated); chunk_size must divide by the
+        mesh size."""
         self.cfg = cfg
         self.model = build_model(cfg, image_shape, num_output_channels)
         self.params = params
         self.chunk_size = chunk_size
         self.return_heatmaps = return_heatmaps
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from .parallel.mesh import DATA_AXIS
+
+            assert chunk_size % mesh.devices.size == 0
+            self._batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
+            repl = NamedSharding(mesh, P())
+            self.params = jax.tree_util.tree_map(
+                lambda v: jax.device_put(v, repl), params
+            )
 
         from .models.cnn import BasicNet
         fused_ok = (
@@ -86,6 +103,14 @@ class Predictor:
             return pts
 
         self._run = _run
+
+    def _stage(self, chunk) -> jax.Array:
+        """Place one (chunk_size, H, W, C) array on device (sharded if a
+        mesh is configured)."""
+        arr = jnp.asarray(chunk)
+        if self.mesh is not None:
+            arr = jax.device_put(arr, self._batch_sharding)
+        return arr
 
     @classmethod
     def from_checkpoint(
@@ -125,7 +150,7 @@ class Predictor:
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad, *chunk.shape[1:]), chunk.dtype)]
                 )
-            res = self._run(self.params, jnp.asarray(chunk))
+            res = self._run(self.params, self._stage(chunk))
             if self.return_heatmaps:
                 m, p = res
                 maps.append(np.asarray(m)[: cs - pad])
@@ -149,7 +174,7 @@ class Predictor:
         cs = self.chunk_size
         n_full = n // cs
         staged = [
-            jnp.asarray(frames[i * cs : (i + 1) * cs]) for i in range(n_full)
+            self._stage(frames[i * cs : (i + 1) * cs]) for i in range(n_full)
         ]
         results = [self._run(self.params, c) for c in staged]  # pipelined
         out = [np.asarray(r) for r in results]

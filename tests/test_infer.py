@@ -54,6 +54,27 @@ def test_heatmap_return():
     assert pts.shape == (5, 3, OUT_CH)
 
 
+def test_mesh_sharded_inference_matches_single(predictor):
+    """Predictor on an 8-device mesh must decode identically."""
+    from pose_estimation_amitai_tpu.parallel.mesh import make_mesh
+
+    cfg = Config(num_base_filters=8)
+    model = build_model(cfg, (HW, HW, IN_CH), OUT_CH)
+    params = model.init(
+        {"params": jax.random.key(0)},
+        jnp.zeros((1, HW, HW, IN_CH)), train=False,
+    )["params"]
+    mesh = make_mesh((8,))
+    p_mesh = Predictor(cfg, params, (HW, HW, IN_CH), OUT_CH, chunk_size=8,
+                       mesh=mesh)
+    frames = np.random.default_rng(4).random((16, HW, HW, IN_CH)).astype(
+        np.float32
+    )
+    single = predictor(frames)
+    sharded = p_mesh(frames)
+    np.testing.assert_allclose(sharded, single, atol=1e-4)
+
+
 def test_soft_argmax_decode_option():
     cfg = Config(num_base_filters=8)
     model = build_model(cfg, (HW, HW, IN_CH), OUT_CH)
