@@ -71,21 +71,30 @@ def _decoder_kernel(
     x_ref, w1, b1, w2, b2, w3, b3, w4, b4, *refs,
     alpha, cin, mid, kout,
 ):
-    """One frame: latent (1, R, W, cin) -> 16 phase planes (1, R, W, kout)."""
-    out_refs = refs[:16]
-    lat_ref, p1_ref, p2_ref, p3_ref = refs[16:]
+    """One frame: latent (1, R, W, cin) -> 16 phase planes (1, R, W, kout).
+
+    All intermediates live in ONE (8, rows, cols, 128) scratch to stay
+    under the 16MB scoped-VMEM limit; slots are reused as stages die (see
+    the slot maps below).
+    """
+    out_ref = refs[0]
+    buf = refs[1]
+    n_ci = cin // LANE
+    # 8 slots, reused as stages die: latent [0,1] -> d1 planes [2..5] ->
+    # d2 planes [0,1,6,7] (latent dead) -> d3 planes [2..5] (d1 dead)
+    LAT = [0, 1]
+    P1 = [2, 3, 4, 5]
+    P2 = [0, 1, 6, 7]
+    P3 = [2, 3, 4, 5]
     r = x_ref.shape[1]
     wd = x_ref.shape[2]
-    n_ci = cin // LANE
 
-    # stage the latent into a zero-margined scratch (chunked to 128 lanes)
-    lat_ref[:] = jnp.zeros_like(lat_ref)
+    buf[:] = jnp.zeros_like(buf)
+    # stage the latent into zero-margined slots (chunked to 128 lanes)
     for ci in range(n_ci):
-        lat_ref[ci, 1 : 1 + r, COL0 : COL0 + wd] = x_ref[
+        buf[LAT[ci], 1 : 1 + r, COL0 : COL0 + wd] = x_ref[
             0, :, :, ci * LANE : (ci + 1) * LANE
         ]
-    p1_ref[:] = jnp.zeros_like(p1_ref)
-    p2_ref[:] = jnp.zeros_like(p2_ref)
 
     # ---- d1: stride-2 up, cin -> mid, parity-planar ----------------------
     for ay in (0, 1):
@@ -94,8 +103,8 @@ def _decoder_kernel(
             for js, ky in _up_taps(ay):
                 for ls, kx in _up_taps(ax):
                     for ci in range(n_ci):
-                        tap = lat_ref[
-                            ci, 1 + js : 1 + js + r,
+                        tap = buf[
+                            LAT[ci], 1 + js : 1 + js + r,
                             COL0 + ls : COL0 + ls + wd,
                         ]
                         acc = acc + jax.lax.dot_general(
@@ -105,21 +114,22 @@ def _decoder_kernel(
                             preferred_element_type=jnp.float32,
                         )
             y = _leaky(acc + b1[:].astype(jnp.float32), alpha)
-            p1_ref[2 * ay + ax, 1 : 1 + r, COL0 : COL0 + wd] = y.astype(
-                p1_ref.dtype
+            buf[P1[2 * ay + ax], 1 : 1 + r, COL0 : COL0 + wd, 0:mid] = (
+                y.astype(buf.dtype)
             )
 
     # ---- d2, d3: stride-1 convs on the 96-grid, with residual skips ------
-    def s1_conv(src_ref, dst_ref, w, b):
+    def s1_conv(src, dst, w, b):
         for ay in (0, 1):
             for ax in (0, 1):
                 acc = jnp.zeros((r, wd, mid), jnp.float32)
                 for a_sy, js, ky in _s1_taps(ay):
                     for a_sx, ls, kx in _s1_taps(ax):
-                        tap = src_ref[
-                            2 * a_sy + a_sx,
+                        tap = buf[
+                            src[2 * a_sy + a_sx],
                             1 + js : 1 + js + r,
                             COL0 + ls : COL0 + ls + wd,
+                            0:mid,
                         ]
                         acc = acc + jax.lax.dot_general(
                             tap, w[ky, kx],
@@ -128,16 +138,15 @@ def _decoder_kernel(
                         )
                 y = _leaky(acc + b[:].astype(jnp.float32), alpha)
                 # residual skip (pytorch/CNNs.py:152-153)
-                y = y + src_ref[
-                    2 * ay + ax, 1 : 1 + r, COL0 : COL0 + wd
+                y = y + buf[
+                    src[2 * ay + ax], 1 : 1 + r, COL0 : COL0 + wd, 0:mid
                 ].astype(jnp.float32)
-                dst_ref[2 * ay + ax, 1 : 1 + r, COL0 : COL0 + wd] = y.astype(
-                    dst_ref.dtype
-                )
+                buf[
+                    dst[2 * ay + ax], 1 : 1 + r, COL0 : COL0 + wd, 0:mid
+                ] = y.astype(buf.dtype)
 
-    s1_conv(p1_ref, p2_ref, w2, b2)
-    p3_ref[:] = jnp.zeros_like(p3_ref)
-    s1_conv(p2_ref, p3_ref, w3, b3)
+    s1_conv(P1, P2, w2, b2)
+    s1_conv(P2, P3, w3, b3)
 
     # ---- d4: stride-2 up on the 96-grid -> 16 phases of the 192-grid -----
     for qy in range(4):
@@ -154,10 +163,11 @@ def _decoder_kernel(
                 for ns, kx in _up_taps(a4x):
                     mxx = a2x + ns
                     a_sx, ls = mxx % 2, (mxx - (mxx % 2)) // 2
-                    tap = p3_ref[
-                        2 * a_sy + a_sx,
+                    tap = buf[
+                        P3[2 * a_sy + a_sx],
                         1 + js : 1 + js + r,
                         COL0 + ls : COL0 + ls + wd,
+                        0:mid,
                     ]
                     acc = acc + jax.lax.dot_general(
                         tap, w4[ky, kx],
@@ -165,7 +175,10 @@ def _decoder_kernel(
                         preferred_element_type=jnp.float32,
                     )
             y = _leaky(acc + b4[:].astype(jnp.float32), alpha)
-            out_refs[qy * 4 + qx][0] = y.astype(out_refs[0].dtype)
+            # pack the 4 qx phases along lanes: out[0, qy, :, :, 32qx:+32]
+            out_ref[0, qy, :, :, qx * kout : (qx + 1) * kout] = y.astype(
+                out_ref.dtype
+            )
 
 
 def fused_decoder(
@@ -181,8 +194,9 @@ def fused_decoder(
     multiple of 32 internally and sliced back.
     """
     b, r, wd, cin = latent.shape
-    assert cin % LANE == 0, cin
+    assert cin % LANE == 0 and cin <= 2 * LANE, cin
     mid = w1.shape[-1]
+    assert mid <= LANE, mid  # unified scratch slots are 128-lane
     k_real = w4.shape[-1]
     kout = -(-k_real // 32) * 32
     if kout != k_real:
@@ -194,10 +208,7 @@ def fused_decoder(
         _decoder_kernel, alpha=alpha, cin=cin, mid=mid, kout=kout,
     )
     wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec(
-        (1, r, wd, kout), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
-    )
-    outs = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(b,),
         in_specs=[
@@ -206,23 +217,22 @@ def fused_decoder(
                 memory_space=pltpu.VMEM,
             ),
         ] + [wspec] * 8,
-        out_specs=tuple([out_spec] * 16),
-        out_shape=tuple(
-            jax.ShapeDtypeStruct((b, r, wd, kout), latent.dtype)
-            for _ in range(16)
+        out_specs=pl.BlockSpec(
+            (1, 4, r, wd, 4 * kout), lambda i: (i, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, 4, r, wd, 4 * kout), latent.dtype
         ),
         scratch_shapes=[
-            pltpu.VMEM((cin // LANE, r + 2, wbuf, LANE), latent.dtype),
-            pltpu.VMEM((4, r + 2, wbuf, mid), latent.dtype),
-            pltpu.VMEM((4, r + 2, wbuf, mid), latent.dtype),
-            pltpu.VMEM((4, r + 2, wbuf, mid), latent.dtype),
+            pltpu.VMEM((8, r + 2, wbuf, LANE), latent.dtype),
         ],
         interpret=interpret,
     )(latent, w1, b1, w2, b2, w3, b3, w4, b4)
 
-    # interleave the 16 phase planes -> (B, 4R, 4W, k_real), in XLA
-    ph = jnp.stack(outs, axis=1).reshape(b, 4, 4, r, wd, kout)
-    ph = ph[..., :k_real]
+    # unpack phases -> (B, 4R, 4W, k_real), in XLA
+    ph = out.reshape(b, 4, r, wd, 4, kout)  # (B, qy, j, l, qx, k)
+    ph = jnp.transpose(ph, (0, 1, 4, 2, 3, 5))[..., :k_real]
     # y[4j + qy, 4l + qx] = ph[qy, qx, j, l]
     y = jnp.transpose(ph, (0, 3, 1, 4, 2, 5))  # (B, j, qy, l, qx, k)
     return y.reshape(b, 4 * r, 4 * wd, k_real)

@@ -1,0 +1,82 @@
+"""Calibrated int8 inference: numerics + peak-decode parity on a trained net.
+
+The int8 path only counts if it preserves the reference's eval metric (pixel
+L2 of decoded peaks, pytorch/train_pytorch.py:199-213) — verified here on a
+model trained to localise synthetic keypoints."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from pose_estimation_amitai_tpu.config import Config
+from pose_estimation_amitai_tpu.data.pipeline import build_dataset
+from pose_estimation_amitai_tpu.data.synthetic import make_synthetic_arrays
+from pose_estimation_amitai_tpu.models import build_model
+from pose_estimation_amitai_tpu.models.quantized import (
+    calibrate,
+    make_quantized_forward,
+    reference_forward,
+)
+from pose_estimation_amitai_tpu.ops import peaks
+
+
+@pytest.fixture(scope="module")
+def trained():
+    """BasicNet overfit on one synthetic batch until it localises peaks."""
+    arrays = make_synthetic_arrays(num_frames=4, num_points=8, image_size=48,
+                                   seed=5)
+    cfg = Config(num_base_filters=8, dropout_ratio=0.0,
+                 compute_dtype="float32")
+    ds, _ = build_dataset(cfg, arrays)
+    x = ds.data["box"][:8].astype(jnp.float32)
+    y = ds.data["confmaps"][:8].astype(jnp.float32)
+    model = build_model(cfg, x.shape[1:], y.shape[-1])
+    params = model.init({"params": jax.random.key(0)}, x, train=False)[
+        "params"
+    ]
+    tx = optax.adam(1e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt):
+        def loss_fn(p):
+            pred = model.apply({"params": p}, x, train=False)
+            return jnp.mean(jnp.square(pred - y))
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        up, opt = tx.update(g, opt, params)
+        return optax.apply_updates(params, up), opt, loss
+
+    for _ in range(1200):
+        params, opt, _ = step(params, opt)
+    return model, params, x, y
+
+
+def test_reference_forward_exact(trained):
+    model, params, x, _ = trained
+    ref = model.apply({"params": params}, x, train=False)
+    mine = reference_forward(params, x)
+    np.testing.assert_allclose(np.asarray(mine), np.asarray(ref), atol=1e-5)
+
+
+def test_quantized_peak_parity(trained):
+    model, params, x, y = trained
+    scales = calibrate(params, np.asarray(x), batch=4)
+    qf = make_quantized_forward(model, params, scales)
+    ref_maps = model.apply({"params": params}, x, train=False)
+    q_maps = qf(x)
+
+    ref_pts = np.asarray(peaks.find_peaks(ref_maps))
+    q_pts = np.asarray(peaks.find_peaks(jnp.asarray(q_maps, jnp.float32)))
+    d = np.linalg.norm(ref_pts - q_pts, axis=-1)
+    # decoded peaks must match the float model to ~1px for most channels
+    assert np.median(d) <= 1.0, np.median(d)
+    # and the quantized model's own accuracy (L2 to GT) must match float
+    l2_ref = np.median(np.asarray(peaks.l2_distances(ref_maps, y)))
+    l2_q = np.median(
+        np.asarray(peaks.l2_distances(jnp.asarray(q_maps, jnp.float32), y))
+    )
+    assert l2_q <= l2_ref + 1.0, (l2_q, l2_ref)
