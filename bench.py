@@ -32,8 +32,8 @@ import jax
 import jax.numpy as jnp
 
 BASELINE_FPS = 5000.0
-B = 512
-K_SMALL, K_LARGE = 8, 40
+B = 1024
+K_SMALL, K_LARGE = 4, 20
 
 
 def _marginal_fps(make_run, budget_s=420.0):
@@ -106,7 +106,9 @@ def main() -> None:
             params, rng.random((8, hw, hw, in_ch)).astype(np.float32),
             batch=4,
         )
-        qf = make_quantized_forward(model, params, scales)
+        qf = make_quantized_forward(
+            model, params, scales, out_dtype=jnp.bfloat16
+        )
         results["int8"] = _marginal_fps(scan_runner(lambda f: qf(f)))
     except Exception:
         pass

@@ -131,10 +131,13 @@ def quantize_params(params, act_scales: dict[str, float]):
     return q
 
 
-def make_quantized_forward(model: BasicNet, params, act_scales):
+def make_quantized_forward(
+    model: BasicNet, params, act_scales, out_dtype=jnp.float32
+):
     """Build an int8 forward numerically tracking BasicNet (torch flavour).
 
-    Returns ``fn(frames) -> heatmaps`` (f32), jittable.
+    Returns ``fn(frames) -> heatmaps`` (``out_dtype``), jittable. bf16
+    output halves the final heatmap write (argmax decode is unaffected).
     """
     assert model.flavor == "torch"
     q = quantize_params(params, act_scales)
@@ -168,6 +171,6 @@ def make_quantized_forward(model: BasicNet, params, act_scales):
         y1 = b16(_leaky(qconv("deconv1", h, d2s)))
         y2 = b16(_leaky(qconv("deconv2", y1, d1s))) + y1
         y3 = b16(_leaky(qconv("deconv3", y2, d1s))) + y2
-        return _leaky(qconv("deconv4", y3, d2s)).astype(jnp.float32)
+        return _leaky(qconv("deconv4", y3, d2s)).astype(out_dtype)
 
     return forward
