@@ -73,12 +73,15 @@ def _preprocessed(args):
     pre.do_preprocess()
     box = pre.get_box().astype(np.float32)
     confmaps = pre.get_confmaps().astype(np.float32)
+    use_q = bool(getattr(args, "quantized", False))
     predictor = Predictor.from_checkpoint(
         cfg, args.checkpoint,
         image_shape=tuple(box.shape[1:]),
         num_output_channels=confmaps.shape[-1],
         chunk_size=args.chunk_size,
         decode=getattr(args, "decode", "argmax"),
+        use_quantized=use_q,
+        calibration_frames=box[:32] if use_q else None,
     )
     return cfg, pre, box, confmaps, predictor
 
@@ -150,6 +153,11 @@ def main(argv: list[str] | None = None) -> int:
         s.add_argument(
             "--decode", choices=("argmax", "soft"), default="argmax",
             help="peak decoder: hard argmax or differentiable soft-argmax",
+        )
+        s.add_argument(
+            "--quantized", action="store_true",
+            help="calibrated int8 serving path (~2x throughput on v5e; "
+                 "peak parity verified in tests/test_quantized.py)",
         )
         s.set_defaults(fn=fn)
 

@@ -45,6 +45,8 @@ class Predictor:
         chunk_size: int = 256,
         return_heatmaps: bool = False,
         use_fused: bool = False,
+        use_quantized: bool = False,
+        calibration_frames=None,
         decode: str = "argmax",
         mesh=None,
     ):
@@ -73,13 +75,31 @@ class Predictor:
             )
 
         from .models.cnn import BasicNet
-        fused_ok = (
-            use_fused
-            and type(self.model) is BasicNet
-            and self.model.flavor == "torch"
+        is_basic = (
+            type(self.model) is BasicNet and self.model.flavor == "torch"
         )
+        fused_ok = use_fused and is_basic
+
+        quantized_fwd = None
+        if use_quantized and is_basic:
+            # calibrated int8 serving path (v5e: ~2x bf16 MXU rate; peak
+            # parity verified in tests/test_quantized.py)
+            from .models.quantized import calibrate, make_quantized_forward
+
+            assert calibration_frames is not None, (
+                "use_quantized needs calibration_frames"
+            )
+            f32_params = jax.tree_util.tree_map(
+                lambda v: jnp.asarray(v, jnp.float32), params
+            )
+            scales = calibrate(f32_params, np.asarray(calibration_frames))
+            quantized_fwd = make_quantized_forward(
+                self.model, f32_params, scales, out_dtype=jnp.bfloat16
+            )
 
         def forward(params, frames):
+            if quantized_fwd is not None:
+                return quantized_fwd(frames)
             if fused_ok:
                 from .models.fast_infer import basicnet_apply_fused
 

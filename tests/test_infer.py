@@ -75,6 +75,23 @@ def test_mesh_sharded_inference_matches_single(predictor):
     np.testing.assert_allclose(sharded, single, atol=1e-4)
 
 
+def test_quantized_predictor_option():
+    cfg = Config(num_base_filters=8, compute_dtype="float32")
+    model = build_model(cfg, (HW, HW, IN_CH), OUT_CH)
+    params = model.init(
+        {"params": jax.random.key(0)},
+        jnp.zeros((1, HW, HW, IN_CH)), train=False,
+    )["params"]
+    frames = np.random.default_rng(7).random((8, HW, HW, IN_CH)).astype(
+        np.float32
+    )
+    p_q = Predictor(cfg, params, (HW, HW, IN_CH), OUT_CH, chunk_size=4,
+                    use_quantized=True, calibration_frames=frames[:4])
+    pts = p_q(frames)
+    assert pts.shape == (8, 3, OUT_CH)
+    assert np.isfinite(pts).all()
+
+
 def test_soft_argmax_decode_option():
     cfg = Config(num_base_filters=8)
     model = build_model(cfg, (HW, HW, IN_CH), OUT_CH)
