@@ -53,6 +53,17 @@ class DeviceDataset:
         self.train_inds = order[val_size:]
         # Device-resident dataset (donate to HBM once).
         self.data = {k: jnp.asarray(v) for k, v in data.items()}
+        if "confmaps" in self.data and "peaks" not in self.data:
+            # Decoded GT peaks + amplitudes: the augmentation fast path
+            # re-renders targets from these (ops/affine.py
+            # augment_images_and_peaks) instead of warping every channel.
+            from ..ops import peaks as peaks_ops
+
+            pv = jax.jit(peaks_ops.find_peaks_with_vals)(
+                self.data["confmaps"]
+            )  # (N, 3, K)
+            self.data["peaks"] = jnp.transpose(pv[:, :2, :], (0, 2, 1))
+            self.data["peak_vals"] = pv[:, 2, :]
         self.num_samples = n
         self._epoch_order = self.train_inds.copy()
         self._cursor = 0

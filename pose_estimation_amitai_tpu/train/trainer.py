@@ -265,7 +265,7 @@ class Trainer:
             "image": jnp.take(self.dataset.data["box"], ids, axis=0),
             "confmaps": jnp.take(self.dataset.data["confmaps"], ids, axis=0),
         }
-        for k in ("P", "P_inv"):
+        for k in ("P", "P_inv", "peaks", "peak_vals"):
             if k in self.dataset.data:
                 batch[k] = jnp.take(self.dataset.data[k], ids, axis=0)
         batch = shard_microbatches(self.mesh, batch)

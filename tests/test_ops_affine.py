@@ -124,3 +124,59 @@ def test_augment_pair_is_deterministic_per_key(rng):
     a1 = affine.augment_pair(key, imgs, cms)
     a2 = affine.augment_pair(key, imgs, cms)
     np.testing.assert_array_equal(np.asarray(a1[0]), np.asarray(a2[0]))
+
+
+def test_augment_images_and_peaks_consistency(rng):
+    """Rendered-at-transformed-peaks targets must agree with warping the
+    rendered maps directly (same key -> same transform)."""
+    from pose_estimation_amitai_tpu.ops.gaussian import confmaps_from_peaks
+
+    b, hw, k = 3, 48, 5
+    peaks_xy = jnp.asarray(
+        rng.uniform(12, 36, (b, k, 2)).astype(np.float32)
+    )
+    vals = jnp.ones((b, k), jnp.float32)
+    maps0 = confmaps_from_peaks(peaks_xy, (hw, hw), 3.0)
+    imgs = jnp.asarray(rng.random((b, hw, hw, 4)).astype(np.float32))
+    key = jax.random.key(3)
+
+    w_img_a, rendered = affine.augment_images_and_peaks(
+        key, imgs, peaks_xy, vals, sigma=3.0,
+        rotation_range=25.0, xy_shifts=4.0, zoom_range=(0.9, 1.1),
+    )
+    w_img_b, warped_maps = affine.augment_pair(
+        key, imgs, maps0,
+        rotation_range=25.0, xy_shifts=4.0, zoom_range=(0.9, 1.1),
+    )
+    # identical image warps (same key -> same sampled transform)
+    np.testing.assert_allclose(
+        np.asarray(w_img_a), np.asarray(w_img_b), atol=1e-5
+    )
+    # decoded peaks of rendered vs warped targets agree to ~1px wherever
+    # the peak stays inside the image
+    from pose_estimation_amitai_tpu.ops import peaks as peaks_ops
+
+    pr = np.asarray(peaks_ops.find_peaks(rendered))
+    pw = np.asarray(peaks_ops.find_peaks(warped_maps))
+    vals_w = np.asarray(warped_maps).max(axis=(1, 2))
+    inside = vals_w > 0.5
+    d = np.linalg.norm(pr - pw, axis=-1)[inside]
+    assert np.median(d) <= 1.0, np.median(d)
+
+
+def test_augment_images_and_peaks_zero_val_channels(rng):
+    """Absent keypoints (val 0) must render all-zero target maps."""
+    peaks_xy = jnp.asarray(rng.uniform(5, 25, (2, 4, 2)).astype(np.float32))
+    vals = jnp.asarray([[1, 0, 1, 0], [0, 1, 0, 1]], jnp.float32)
+    imgs = jnp.asarray(rng.random((2, 32, 32, 4)).astype(np.float32))
+    _, maps = affine.augment_images_and_peaks(
+        jax.random.key(0), imgs, peaks_xy, vals,
+        rotation_range=10.0, xy_shifts=2.0,
+    )
+    m = np.asarray(maps)
+    for b in range(2):
+        for c in range(4):
+            if vals[b, c] == 0:
+                assert m[b, :, :, c].max() == 0.0
+            else:
+                assert m[b, :, :, c].max() > 0.3
