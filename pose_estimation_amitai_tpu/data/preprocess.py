@@ -98,6 +98,10 @@ class Preprocessor:
             arrays = self._load_h5(cfg.data_path)
         self.box = normalize(arrays["box"])
         self.confmaps = normalize(arrays["confmaps"])
+        if cfg.single_time_channel:
+            # keep the centre time channel + the two masks
+            # (tensorflow/preprocessor.py:27-28)
+            self.box = self.box[..., [1, -2, -1]]
         self.cropzone = np.asarray(arrays["cropZone"])
         self.camera_matrices = np.asarray(arrays["cameras_dlt_array"], np.float32)
         self._points_3d_raw = np.asarray(arrays["points_3D"], np.float32)
@@ -166,8 +170,47 @@ class Preprocessor:
 
     # -- public API (reference parity) --------------------------------------
     def do_preprocess(self) -> None:
+        if self.cfg.mix_with_test and not self.debug_mode:
+            self.do_mix_with_test()
         fn = self._dispatch()
         fn()
+
+    def do_mix_with_test(self) -> None:
+        """Fold a (held-out) test movie set into training.
+
+        Reference: pytorch/preprocessor.py:136-151 — the test file holds a
+        movie pair; each movie is wing-split with the movie trainset policy
+        and mask-repaired, then concatenated onto the training frames.
+        """
+        arrays = self._load_h5(self.cfg.test_path)
+        test_box = normalize(arrays["box"])
+        test_cm = normalize(arrays["confmaps"])
+        if self.cfg.single_time_channel:
+            test_box = test_box[..., [1, -2, -1]]
+        movies = (
+            [(test_box[i], test_cm[i]) for i in range(test_box.shape[0])]
+            if test_box.ndim == 6 else [(test_box, test_cm)]
+        )
+        boxes, cms = [], []
+        for b, cm in movies:
+            b, cm = self.split_per_wing(
+                b, cm, C.ALL_POINTS_MODEL, C.MOVIE_TRAIN_SET
+            )
+            b, _ = self.fix_movie_masks(b)
+            boxes.append(b)
+            cms.append(cm)
+        self.box = np.concatenate([self.box] + boxes, axis=0)
+        self.confmaps = np.concatenate([self.confmaps] + cms, axis=0)
+        # test frames have no crop metadata; replicate the last training
+        # frame's so downstream per-wing bookkeeping keeps its shape
+        extra = self.box.shape[0] - self.cropzone.shape[0]
+        if extra > 0:
+            self.cropzone = np.concatenate(
+                [self.cropzone,
+                 np.repeat(self.cropzone[-1:], extra, axis=0)], axis=0
+            )
+        self.num_frames = self.box.shape[0]
+        self.cropzone_per_wing = np.repeat(self.cropzone, 2, axis=0)
 
     def get_box(self) -> np.ndarray:
         return self.box

@@ -107,3 +107,23 @@ def test_fix_movie_masks_fills_from_neighbours(arrays):
 def test_curriculum_sorting(arrays):
     p = _pre(arrays, C.PER_WING_MODEL, do_curriculum_learning=True)
     assert p.get_box().shape[0] == 2 * 5 * 4
+
+
+def test_single_time_channel(arrays):
+    p = _pre(arrays, C.MODEL_18_POINTS_PER_WING, single_time_channel=True)
+    # centre time channel + one wing mask per sample
+    assert p.get_box().shape[-1] == 2
+
+
+def test_mix_with_test(arrays, tmp_path):
+    from pose_estimation_amitai_tpu.data.synthetic import write_synthetic_h5
+
+    test_h5 = str(tmp_path / "test.h5")
+    write_synthetic_h5(test_h5, num_frames=3, num_points=8, image_size=48,
+                       seed=9)
+    cfg = Config(model_type=C.MODEL_18_POINTS_PER_WING, mix_with_test=True,
+                 test_path=test_h5)
+    p = Preprocessor(cfg, {k: v.copy() for k, v in arrays.items()})
+    p.do_preprocess()
+    # 5 train + 3 test frames -> 2 wings x 8 frames x 4 cams samples
+    assert p.get_box().shape[0] == 2 * (5 + 3) * 4
