@@ -54,7 +54,9 @@ def _masked_window_reduce(
         # dilation: out = max over footprint of (mask * struct)
         sel = struct
     else:
-        init, op, pad_val = 1.0, jax.lax.min, 1.0
+        # scipy default border_value=0: outside counts as background, so
+        # border pixels erode away
+        init, op, pad_val = 1.0, jax.lax.min, 0.0
         # erosion: out = min over footprint of (mask OR NOT struct)
         sel = struct
 
