@@ -131,6 +131,90 @@ def quantize_params(params, act_scales: dict[str, float]):
     return q
 
 
+def make_quantized_fused_forward(
+    model: BasicNet, params, act_scales, out_dtype=jnp.float32,
+    interpret: bool = False,
+):
+    """int8 forward with Pallas-fused encoder stages.
+
+    Same arithmetic as :func:`make_quantized_forward` (scales, bf16 skips)
+    with each encoder stage's requant chain kept in VMEM
+    (ops/pallas_qconv.py); the decoder runs the XLA int8 path on the
+    pre-quantized latent.
+    """
+    from ..ops.pallas_qconv import fused_quantized_stage
+
+    assert model.flavor == "torch"
+    q = quantize_params(params, act_scales)
+
+    def stage_args(s):
+        names = [f"conv{3 * s + k + 1}" for k in range(3)]
+        args = []
+        for n in names:
+            args += [q[n]["w_q"], q[n]["mult"], q[n]["bias"]]
+        return args
+
+    inv = {n: 1.0 / q[n]["s_x"] for n in q}
+
+    def encoder_int8(x):
+        """(B, H, W, C) float -> int8 latent at deconv1's input scale."""
+        h = jnp.clip(
+            jnp.round((x.astype(jnp.bfloat16)
+                       * jnp.bfloat16(inv["conv1"])).astype(jnp.float32)),
+            -127, 127,
+        ).astype(jnp.int8)
+        for s in range(3):
+            n2, n3 = f"conv{3 * s + 2}", f"conv{3 * s + 3}"
+            nxt = f"conv{3 * s + 4}" if s < 2 else "deconv1"
+            h = fused_quantized_stage(
+                h, *stage_args(s),
+                inv_s2=inv[n2], inv_s3=inv[n3], inv_out=inv[nxt],
+                pool=s < 2, interpret=interpret,
+            )
+            if s < 2:
+                # int8 2x2 max-pool (commutes with the in-kernel
+                # quant(leaky(.)), so identical to pooling before quant)
+                bb, hh, ww, cc = h.shape
+                h = jnp.max(
+                    h.reshape(bb, hh // 2, 2, ww // 2, 2, cc), axis=(2, 4)
+                )
+        return h
+
+    def qconv_pre(name, x_q, conv_fn):
+        layer = q[name]
+        y = conv_fn(x_q, layer["w_q"]).astype(jnp.float32)
+        return y * layer["mult"] + layer["bias"]
+
+    def qconv(name, x, conv_fn):
+        layer = q[name]
+        x_q = jnp.clip(
+            jnp.round((x * jnp.bfloat16(1.0 / layer["s_x"])).astype(
+                jnp.float32)), -127, 127,
+        ).astype(jnp.int8)
+        return qconv_pre(name, x_q, conv_fn)
+
+    def b16(v):
+        return v.astype(jnp.bfloat16)
+
+    def forward(x):
+        b = x.shape[0]
+        chunk = next(c for c in (8, 4, 2, 1) if b % c == 0)
+        if b == chunk:
+            lat = encoder_int8(x)
+        else:
+            xr = x.reshape(b // chunk, chunk, *x.shape[1:])
+            lat = jax.lax.map(encoder_int8, xr)
+            lat = lat.reshape(b, *lat.shape[2:])
+        d2s = lambda a, w: _deconv_s2(a, w, acc=jnp.int32)
+        d1s = lambda a, w: _deconv_s1(a, w, acc=jnp.int32)
+        y1 = b16(_leaky(qconv_pre("deconv1", lat, d2s)))
+        y2 = b16(_leaky(qconv("deconv2", y1, d1s))) + y1
+        y3 = b16(_leaky(qconv("deconv3", y2, d1s))) + y2
+        return _leaky(qconv("deconv4", y3, d2s)).astype(out_dtype)
+
+    return forward
+
+
 def make_quantized_forward(
     model: BasicNet, params, act_scales, out_dtype=jnp.float32
 ):
