@@ -91,7 +91,10 @@ def build_model(
     if mt == C.TWO_WINGS_TOGATHER:
         return TwoWingsNet(**cnn_kw)
     if mt == C.C2F_PER_WING:
-        return C2FPerWing(**cnn_kw)
+        # the frozen coarse stage regresses the same target set
+        # (tensorflow/Network.py:169-198 loads a coarse model trained on
+        # identical per-wing confmaps)
+        return C2FPerWing(coarse_out_channels=num_output_channels, **cnn_kw)
     if mt == C.COARSE_PER_WING:
         kw = dict(cnn_kw)
         kw.pop("num_blocks", None)
