@@ -184,6 +184,13 @@ class Trainer:
 
         accum = max(1, cfg.accumulation_steps)
         updates_per_epoch = max(1, self.batches_per_epoch // accum)
+        if self.start_epoch == 0:
+            # initial weights snapshot (tensorflow/train.py:88
+            # ``initial_model.h5``)
+            ckpt.save_params(
+                os.path.join(self.run_path, "initial_model.msgpack"),
+                self.state.params,
+            )
         profiler_ctx = None
         if cfg.profile:
             jax.profiler.start_trace(os.path.join(self.run_path, "profile"))
@@ -244,6 +251,12 @@ class Trainer:
 
         if profiler_ctx:
             jax.profiler.stop_trace()
+        # final weights (tensorflow/train.py:102-104
+        # ``final_confmaps_model.h5``; history rides in history.csv/.mat)
+        ckpt.save_params(
+            os.path.join(self.run_path, "final_confmaps_model.msgpack"),
+            self.state.params,
+        )
         print(
             "Total runtime first loss: %.1f mins" % ((time() - t0) / 60),
             flush=True,

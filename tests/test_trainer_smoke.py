@@ -40,6 +40,7 @@ def test_train_artifacts_and_resume(tmp_path, arrays):
     for artifact in (
         "configuration.json", "losses.csv", "history.csv", "loss_graph.png",
         "checkpoint.msgpack", "checkpoint_meta.json", "best_model.msgpack",
+        "initial_model.msgpack", "final_confmaps_model.msgpack",
     ):
         assert os.path.exists(os.path.join(rp, artifact)), artifact
     assert os.path.isdir(os.path.join(rp, "training code"))
