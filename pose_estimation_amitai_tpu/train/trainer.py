@@ -318,7 +318,8 @@ class Trainer:
             for i in range(len(train_losses)):
                 secs = epoch_secs[i] if i < len(epoch_secs) else float("nan")
                 w.writerow(
-                    [i + 1, f"{train_losses[i]:.4g}", f"{val_losses[i]:.4g}",
+                    [self.start_epoch + i + 1, f"{train_losses[i]:.4g}",
+                     f"{val_losses[i]:.4g}",
                      f"{l2_means[i]:.4g}", f"{l2_stds[i]:.4g}",
                      f"{l2_max[i]:.4g}", f"{secs:.2f}"]
                 )
@@ -327,7 +328,9 @@ class Trainer:
             w = csv.writer(f)
             w.writerow(["epoch", "loss", "val_loss"])
             for i in range(len(train_losses)):
-                w.writerow([i, train_losses[i], val_losses[i]])
+                w.writerow(
+                    [self.start_epoch + i, train_losses[i], val_losses[i]]
+                )
         try:
             from scipy.io import savemat
 
