@@ -59,9 +59,6 @@ def _pool(x):
     )
 
 
-_ENC = [  # (layer name, stage index 0..2, conv index in stage)
-    (f"conv{3 * s + k + 1}", s, k) for s in range(3) for k in range(3)
-]
 _DEC = ["deconv1", "deconv2", "deconv3", "deconv4"]
 
 

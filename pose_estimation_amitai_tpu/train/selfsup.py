@@ -40,7 +40,6 @@ import optax
 from ..config import Config
 from ..models.cnn import BasicNet
 from ..ops import affine
-from .. import viz
 from . import checkpoint as ckpt
 from .loop import TrainState, PlateauScheduler
 

@@ -34,7 +34,7 @@ import numpy as np
 
 from .. import viz
 from ..config import Config
-from ..data.pipeline import DeviceDataset, build_dataset
+from ..data.pipeline import build_dataset
 from ..models import build_model
 from ..ops import peaks as peaks_ops
 from . import checkpoint as ckpt
