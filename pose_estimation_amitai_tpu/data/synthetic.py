@@ -136,9 +136,14 @@ def make_synthetic_arrays(
                 jitter = (t - num_time_channels // 2) * 1.5
                 blob = 0.5 * _gaussian(h, w, body_y + jitter, body_x + jitter, 14.0)
                 for p in range(n_all):
-                    blob += 0.9 * _gaussian(
+                    # distinct per-keypoint intensity + size: real wing
+                    # features are visually distinguishable; identical dots
+                    # would make keypoint identity unlearnable
+                    amp = 0.45 + 0.5 * (p + 1) / n_all
+                    sig = 1.2 + 0.8 * (p % 4) / 3.0
+                    blob += amp * _gaussian(
                         h, w, y_local[p] + jitter * 0.3,
-                        x_local[p] + jitter * 0.3, 1.6,
+                        x_local[p] + jitter * 0.3, sig,
                     )
                 box[f, c, :, :, t] = np.clip(blob, 0, 1)
             # wing masks: ellipses covering each wing's peaks
