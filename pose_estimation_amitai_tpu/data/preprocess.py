@@ -156,7 +156,16 @@ class Preprocessor:
         }
 
     def _derive_points_3d(self) -> None:
-        """Per-wing 3D point split (pytorch/preprocessor.py:60-71)."""
+        """Per-wing 3D point split (pytorch/preprocessor.py:60-71).
+
+        NOTE the ordering follows ``split_per_wing``'s deliberate
+        cross-wiring (pytorch/preprocessor.py:161-162): the first half of
+        the per-wing samples (paired with the LEFT mask) carries the
+        RIGHT-index confmap channels, so their 3D points are the
+        right-index points — this keeps ``get_points_3D_per_wing`` in exact
+        correspondence with the emitted sample/channel order (verified by
+        tests/test_preprocess.py::test_points3d_matches_sample_channels).
+        """
         pts = self._points_3d_raw[: self.num_frames]
         self.points_3d = pts
         self.num_points = pts.shape[1]
@@ -164,9 +173,9 @@ class Preprocessor:
         self.left_inds = np.arange(0, num_wing_points // 2)
         self.right_inds = np.arange(num_wing_points // 2, num_wing_points)
         head_tail = np.array([-2, -1])
-        left = pts[:, np.append(self.left_inds, head_tail), :]
-        right = pts[:, np.append(self.right_inds, head_tail), :]
-        self.points_3d_per_wing = np.concatenate((left, right), axis=0)
+        first = pts[:, np.append(self.right_inds, head_tail), :]
+        second = pts[:, np.append(self.left_inds, head_tail), :]
+        self.points_3d_per_wing = np.concatenate((first, second), axis=0)
 
     # -- public API (reference parity) --------------------------------------
     def do_preprocess(self) -> None:

@@ -109,6 +109,42 @@ def test_curriculum_sorting(arrays):
     assert p.get_box().shape[0] == 2 * 5 * 4
 
 
+def test_points3d_matches_sample_channels(arrays):
+    """get_points_3D_per_wing()[s, k] must be the 3D point whose projection
+    is sample s's confmap channel k — i.e. the per-wing 3D split follows
+    split_per_wing's cross-wiring."""
+    import jax.numpy as jnp
+
+    from pose_estimation_amitai_tpu.ops import geometry
+    from pose_estimation_amitai_tpu.data.preprocess import find_peaks_np
+
+    # 96px crops: at 48px many synthetic keypoints clip at crop borders
+    arrays = make_synthetic_arrays(num_frames=4, num_points=8, image_size=96,
+                                   seed=2)
+    p = _pre(arrays, C.MODEL_18_POINTS_PER_WING)
+    cm = p.get_confmaps()  # (2F*cams, H, W, K)
+    pts3d = p.get_points_3D_per_wing()  # (2F, K, 3)
+    cz = p.get_cropzone()  # (F, cams, 2)
+    cams = p.camera_matrices
+    ncams = cz.shape[1]
+    F = cz.shape[0]
+    errs = []
+    for s in range(cm.shape[0]):
+        wf, cam = divmod(s, ncams)
+        f = wf % F
+        pk = find_peaks_np(cm[s : s + 1])[0, :2, :].T  # (K, 2) crop-local
+        full = np.asarray(geometry.uncrop_points(
+            jnp.asarray(pk, jnp.float32), jnp.asarray(cz[f, cam], jnp.float32)
+        ))
+        proj = np.asarray(geometry.reproject(
+            jnp.asarray(cams[cam]), jnp.asarray(pts3d[wf])
+        ))
+        errs.append(np.linalg.norm(full - proj, axis=-1))
+    errs = np.concatenate(errs)
+    # integer-pixel decode + crop-clipped outliers; the bulk must match
+    assert np.median(errs) < 2.0, np.median(errs)
+
+
 def test_single_time_channel(arrays):
     p = _pre(arrays, C.MODEL_18_POINTS_PER_WING, single_time_channel=True)
     # centre time channel + one wing mask per sample
