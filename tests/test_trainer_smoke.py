@@ -74,6 +74,17 @@ def test_sharded_trainer_on_mesh(tmp_path, arrays):
     assert np.isfinite(history["train_loss"][0])
 
 
+def test_save_every_epoch_weights(tmp_path, arrays):
+    """Per-epoch weight snapshots (CallBacks.py:122-128 weights.{epoch}-{loss})."""
+    trainer = Trainer(
+        _cfg(tmp_path, epochs=2, save_every_epoch=True), arrays=arrays
+    )
+    trainer.train()
+    weights = sorted(os.listdir(os.path.join(trainer.run_path, "weights")))
+    assert len(weights) == 2
+    assert weights[0].startswith("weights.001-")
+
+
 def test_accumulation_steps_run(tmp_path, arrays):
     trainer = Trainer(
         _cfg(tmp_path, epochs=1, accumulation_steps=2, batches_per_epoch=2),
