@@ -65,7 +65,7 @@ def make_sharded_train_step(model, cfg: Config, mesh: Mesh):
             return (mb["image"], mb["P"], mb["P_inv"])
         return (mb["image"],)
 
-    def microbatch_loss(params, key, mb):
+    def microbatch_loss(params, batch_stats, key, mb):
         box, confmaps = mb["image"], mb.get("confmaps")
         if cfg.do_augmentations and "peaks" in mb:
             key, akey = jax.random.split(key)
@@ -91,10 +91,24 @@ def make_sharded_train_step(model, cfg: Config, mesh: Mesh):
                 order=order,
             )
         mb = dict(mb, image=box, confmaps=confmaps)
-        pred = model.apply(
-            {"params": params}, *_args(mb), train=True, rngs={"dropout": key}
-        )
-        return loss_fn(pred, confmaps)
+        if batch_stats:
+            # Cross-replica BatchNorm comes for free under GSPMD: the batch
+            # axis is sharded over ``data``, so the BN mean/var reductions
+            # over axis 0 are *global* — XLA inserts the cross-chip
+            # all-reduce from the sharding annotations (no hand-psum'd BN).
+            pred, mutated = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                *_args(mb), train=True, rngs={"dropout": key},
+                mutable=["batch_stats"],
+            )
+            new_stats = mutated["batch_stats"]
+        else:
+            pred = model.apply(
+                {"params": params}, *_args(mb), train=True,
+                rngs={"dropout": key},
+            )
+            new_stats = batch_stats
+        return loss_fn(pred, confmaps), new_stats
 
     def step(state: TrainState, batch: dict, lr_scale):
         rng, key = jax.random.split(jax.random.fold_in(state.rng, state.step))
@@ -102,28 +116,31 @@ def make_sharded_train_step(model, cfg: Config, mesh: Mesh):
         micro_keys = jax.random.split(key, accum)
 
         def scan_body(carry, xs):
-            grads_acc, loss_acc = carry
+            grads_acc, loss_acc, stats = carry
             key_i, mb = xs
-            loss, grads = jax.value_and_grad(microbatch_loss)(
-                state.params, key_i, mb
-            )
+            (loss, stats), grads = jax.value_and_grad(
+                microbatch_loss, has_aux=True
+            )(state.params, stats, key_i, mb)
             return (
                 jax.tree_util.tree_map(jnp.add, grads_acc, grads),
                 loss_acc + loss,
+                stats,
             ), None
 
         zero = jax.tree_util.tree_map(
             lambda p: jnp.zeros_like(p, dtype=jnp.float32), state.params
         )
-        (grads, loss_sum), _ = jax.lax.scan(
-            scan_body, (zero, jnp.zeros(())), (micro_keys, batch)
+        (grads, loss_sum, new_stats), _ = jax.lax.scan(
+            scan_body, (zero, jnp.zeros(()), state.batch_stats),
+            (micro_keys, batch),
         )
         grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         updates = jax.tree_util.tree_map(lambda u: u * lr_scale, updates)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(
-            step=state.step + 1, params=params, opt_state=opt_state, rng=rng
+            step=state.step + 1, params=params, opt_state=opt_state,
+            batch_stats=new_stats, rng=rng,
         )
         return new_state, loss_sum / accum
 

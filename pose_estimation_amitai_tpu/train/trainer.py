@@ -85,10 +85,10 @@ class Trainer:
             else len(jax.devices())
         )
         self.mesh = None
-        has_bn = bool(self.state.batch_stats)
-        # (BatchNorm models keep the single-device step: cross-chip running
-        # stats need a psum'd BN, not yet wired into the sharded step.)
-        if n_dev > 1 and cfg.batch_size % n_dev == 0 and not has_bn:
+        # BatchNorm models shard too: under GSPMD the BN batch-mean over the
+        # sharded axis is computed globally (cross-replica BN by sharding
+        # annotation, no hand-psum — see parallel/sharded.py).
+        if n_dev > 1 and cfg.batch_size % n_dev == 0:
             from ..parallel.mesh import make_mesh
             from ..parallel.sharded import (
                 make_sharded_train_step,

@@ -74,6 +74,27 @@ def test_head_tail_all_cams(arrays):
     assert cm.shape == (5, 48, 48, 4 * 2)
 
 
+def test_head_tail_native_movie_pair(arrays):
+    """Head-tail datasets may ship a leading movie-pair dim (2, F, cams,
+    H, W, C) (tensorflow/preprocessor.py:48-63): the loader flattens pairs
+    into frames for both head-tail layouts."""
+    paired = dict(arrays)
+    paired["box"] = np.stack([arrays["box"], arrays["box"][::-1]])
+    paired["confmaps"] = np.stack(
+        [arrays["confmaps"], arrays["confmaps"][::-1]]
+    )
+    p = _pre(paired, C.HEAD_TAIL_PER_CAM)
+    assert p.get_box().shape == (2 * 5 * 4, 48, 48, 3)
+    assert p.get_confmaps().shape == (2 * 5 * 4, 48, 48, 2)
+
+    p = _pre(paired, C.HEAD_TAIL_ALL_CAMS)
+    assert p.get_box().shape == (2 * 5, 48, 48, 4 * 5)
+    assert p.get_confmaps().shape == (2 * 5, 48, 48, 4 * 2)
+    # pair flattening preserves frame content: movie 0 frame 0 == unpaired
+    single = _pre(arrays, C.HEAD_TAIL_ALL_CAMS)
+    np.testing.assert_array_equal(p.get_box()[:5], single.get_box())
+
+
 def test_three_good_cameras(arrays):
     p = _pre(arrays, C.MODEL_18_POINTS_3_GOOD_CAMERAS)
     box, cm = p.get_box(), p.get_confmaps()

@@ -26,20 +26,22 @@ from pose_estimation_amitai_tpu.train.loop import create_train_state
 HW, IN_CH, OUT_CH = 48, 4, 6
 
 
-def _setup(n_devices, accum=2, per_step_batch=None):
+def _setup(n_devices, accum=2, per_step_batch=None, hw=HW, **cfg_kw):
     mesh = make_mesh((n_devices,), jax.devices()[:n_devices])
     per_step_batch = per_step_batch or 2 * n_devices
-    cfg = Config(num_base_filters=8, accumulation_steps=accum,
-                 batch_size=per_step_batch, do_augmentations=True,
-                 rotation_range=10.0, xy_shifts=2.0)
-    model = build_model(cfg, (HW, HW, IN_CH), OUT_CH)
+    kw = dict(num_base_filters=8, accumulation_steps=accum,
+              batch_size=per_step_batch, do_augmentations=True,
+              rotation_range=10.0, xy_shifts=2.0)
+    kw.update(cfg_kw)
+    cfg = Config(**kw)
+    model = build_model(cfg, (hw, hw, IN_CH), OUT_CH)
     rng = np.random.default_rng(0)
     batch = {
         "image": jnp.asarray(
-            rng.random((accum, per_step_batch, HW, HW, IN_CH), np.float32)
+            rng.random((accum, per_step_batch, hw, hw, IN_CH), np.float32)
         ),
         "confmaps": jnp.asarray(
-            rng.random((accum, per_step_batch, HW, HW, OUT_CH), np.float32)
+            rng.random((accum, per_step_batch, hw, hw, OUT_CH), np.float32)
         ),
     }
     state = create_train_state(model, cfg, {k: v[0] for k, v in batch.items()})
@@ -91,3 +93,35 @@ def test_sharded_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(l8), np.asarray(l1), rtol=2e-3, atol=2e-5
     )
+
+
+def test_sharded_batchnorm_cross_replica():
+    """BatchNorm models train on the mesh: GSPMD computes the BN batch-mean
+    globally over the sharded axis, so 8-device running stats match the
+    1-device stats on identical data (cross-replica BN by annotation)."""
+    mesh8, cfg, model, state, batch = _setup(
+        8, hw=64, model_type="RESNET_18_POINTS_PER_WING",
+        do_augmentations=False, compute_dtype="float32",
+    )
+    assert state.batch_stats, "ResNet variant should carry BN running stats"
+    mesh1 = make_mesh((1,), jax.devices()[:1])
+
+    s8 = make_sharded_train_step(model, cfg, mesh8)
+    s1 = make_sharded_train_step(model, cfg, mesh1)
+    out8, loss8 = s8(shard_state(mesh8, state),
+                     shard_microbatches(mesh8, batch), jnp.asarray(1.0))
+    out1, loss1 = s1(shard_state(mesh1, state),
+                     shard_microbatches(mesh1, batch), jnp.asarray(1.0))
+    np.testing.assert_allclose(float(loss8), float(loss1), rtol=2e-4)
+    # running stats advanced and agree across mesh sizes
+    flat8 = jax.tree_util.tree_leaves(out8.batch_stats)
+    flat1 = jax.tree_util.tree_leaves(out1.batch_stats)
+    flat0 = jax.tree_util.tree_leaves(state.batch_stats)
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(flat8, flat0)
+    ), "batch_stats did not update"
+    for a, b in zip(flat8, flat1):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5
+        )
