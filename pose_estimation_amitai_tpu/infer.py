@@ -81,21 +81,38 @@ class Predictor:
         fused_ok = use_fused and is_basic
 
         quantized_fwd = None
-        if use_quantized and is_basic:
+        if use_quantized:
             # calibrated int8 serving path (v5e: ~2x bf16 MXU rate; peak
             # parity verified in tests/test_quantized.py)
-            from .models.quantized import calibrate, make_quantized_forward
-
             assert calibration_frames is not None, (
                 "use_quantized needs calibration_frames"
             )
             f32_params = jax.tree_util.tree_map(
                 lambda v: jnp.asarray(v, jnp.float32), params
             )
-            scales = calibrate(f32_params, np.asarray(calibration_frames))
-            quantized_fwd = make_quantized_forward(
-                self.model, f32_params, scales, out_dtype=jnp.bfloat16
-            )
+            if is_basic:
+                # hand-scheduled int8 BasicNet (fastest flagship path)
+                from .models.quantized import (
+                    calibrate,
+                    make_quantized_forward,
+                )
+
+                scales = calibrate(
+                    f32_params, np.asarray(calibration_frames)
+                )
+                quantized_fwd = make_quantized_forward(
+                    self.model, f32_params, scales, out_dtype=jnp.bfloat16
+                )
+            else:
+                # generic interceptor-based int8 (ViT / multicam / ResNet /
+                # disentangled — models/quantized_generic.py)
+                from .models.quantized_generic import quantize_predict_fn
+
+                quantized_fwd = quantize_predict_fn(
+                    self.model, f32_params,
+                    np.asarray(calibration_frames),
+                    out_dtype=jnp.bfloat16,
+                )
 
         def forward(params, frames):
             if quantized_fwd is not None:

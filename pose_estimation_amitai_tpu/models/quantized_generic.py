@@ -1,0 +1,208 @@
+"""Generic calibrated-int8 serving for every model family.
+
+:mod:`.quantized` hand-writes the int8 forward of the flagship BasicNet (the
+fastest path — its layer chain is known statically). This module generalises
+int8 serving to the rest of the model zoo (ViT, 4-camera fusion,
+disentangled, ResNet) without per-architecture forwards: a flax *method
+interceptor* rewrites every ``nn.Dense`` / ``nn.Conv`` / ``nn.ConvTranspose``
+application inside ``model.apply`` into an int8 x int8 -> int32 MXU op with a
+dequant epilogue, leaving everything else (LayerNorm, softmax, BatchNorm
+running stats, residuals, min-max normalisation) in float exactly as the
+float model computes it.
+
+Scheme (same as models/quantized.py): symmetric per-tensor activation scales
+calibrated as amax/127 over sample batches, symmetric per-output-channel
+weight scales. On v5e the MXU runs int8 at 2x the bf16 rate, so the matmul-
+dominated ViT family gains the most.
+
+The reference has no quantized serving at all (its inference-as-practiced is
+``model.predict`` in float, SURVEY §3.5) — this is TPU-added capability, and
+peak-decode parity with each float model is what tests/test_quantized.py
+verifies.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from jax import lax
+
+_QUANT_TYPES = (nn.Dense, nn.Conv, nn.ConvTranspose)
+
+
+def _path_key(module: nn.Module) -> str:
+    return "/".join(module.path)
+
+
+def _canon_padding(padding, rank: int):
+    """flax-style padding canonicalisation for the cases the zoo uses."""
+    if isinstance(padding, str):
+        return padding
+    if isinstance(padding, int):
+        return [(padding, padding)] * rank
+    out = []
+    for p in padding:
+        out.append((p, p) if isinstance(p, int) else tuple(p))
+    return out
+
+
+def _tuple_arg(v, rank: int):
+    if v is None:
+        return (1,) * rank
+    if isinstance(v, int):
+        return (v,) * rank
+    return tuple(v)
+
+
+def _quant_tensor(x: jax.Array, scale) -> jax.Array:
+    inv = jnp.asarray(1.0 / scale, jnp.bfloat16)
+    return jnp.clip(
+        jnp.round((x.astype(jnp.bfloat16) * inv).astype(jnp.float32)),
+        -127, 127,
+    ).astype(jnp.int8)
+
+
+def _weight_scales(kernel: jax.Array) -> jax.Array:
+    """Per-output-channel (last axis) symmetric scales."""
+    axes = tuple(range(kernel.ndim - 1))
+    s = jnp.max(jnp.abs(kernel), axis=axes) / 127.0
+    return jnp.maximum(s, 1e-12)
+
+
+def _apply_quantized(module: nn.Module, x: jax.Array, s_x: float) -> jax.Array:
+    """int8 re-implementation of one Dense/Conv/ConvTranspose application."""
+    params = module.variables["params"]
+    kernel = jnp.asarray(params["kernel"], jnp.float32)
+    s_w = _weight_scales(kernel)
+    w_q = jnp.clip(jnp.round(kernel / s_w), -127, 127).astype(jnp.int8)
+    x_q = _quant_tensor(x, s_x)
+
+    if isinstance(module, nn.Dense):
+        y = lax.dot_general(
+            x_q, w_q, (((x_q.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+    else:
+        rank = kernel.ndim - 2
+        # collapse extra batch dims the way flax does (none in this zoo)
+        assert x_q.ndim == rank + 2, "unexpected batched conv input rank"
+        strides = _tuple_arg(getattr(module, "strides", None), rank)
+        kdil = _tuple_arg(getattr(module, "kernel_dilation", None), rank)
+        padding = _canon_padding(module.padding, rank)
+        spatial = "DHW"[-rank:] if rank <= 3 else None
+        dn = lax.conv_dimension_numbers(
+            x_q.shape, w_q.shape,
+            (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C"),
+        )
+        if isinstance(module, nn.ConvTranspose):
+            assert not module.transpose_kernel
+            y = lax.conv_transpose(
+                x_q, w_q, strides, padding, rhs_dilation=kdil,
+                transpose_kernel=False,
+                preferred_element_type=jnp.int32,
+            )
+        else:
+            idil = _tuple_arg(getattr(module, "input_dilation", None), rank)
+            y = lax.conv_general_dilated(
+                x_q, w_q, strides, padding,
+                lhs_dilation=idil, rhs_dilation=kdil,
+                dimension_numbers=dn,
+                feature_group_count=module.feature_group_count,
+                preferred_element_type=jnp.int32,
+            )
+    # dequant epilogue (XLA fuses into the int32 accumulate)
+    y = y.astype(jnp.float32) * (jnp.float32(s_x) * s_w)
+    if module.use_bias:
+        y = y + jnp.asarray(params["bias"], jnp.float32)
+    if module.dtype is not None:
+        y = y.astype(module.dtype)
+    return y
+
+
+def calibrate_apply(
+    model: nn.Module,
+    variables: dict | Any,
+    sample_inputs: list[tuple],
+    **apply_kwargs,
+) -> dict[str, float]:
+    """Record per-layer input amax/127 over calibration batches.
+
+    ``variables`` is either a full variables dict or bare params;
+    ``sample_inputs`` is a list of positional-arg tuples for ``model.apply``.
+    Runs unjitted (needs concrete activation values).
+    """
+    if "params" not in variables:
+        variables = {"params": variables}
+    collect: dict[str, float] = {}
+
+    def interceptor(next_fun, args, kwargs, context):
+        m = context.module
+        if isinstance(m, _QUANT_TYPES) and context.method_name == "__call__":
+            key = _path_key(m)
+            amax = float(jnp.max(jnp.abs(args[0])))
+            collect[key] = max(collect.get(key, 0.0), amax)
+        return next_fun(*args, **kwargs)
+
+    with nn.intercept_methods(interceptor):
+        for inputs in sample_inputs:
+            model.apply(variables, *inputs, train=False, **apply_kwargs)
+    return {k: v / 127.0 for k, v in collect.items()}
+
+
+def make_quantized_apply(
+    model: nn.Module,
+    variables: dict | Any,
+    act_scales: dict[str, float],
+    out_dtype=jnp.float32,
+) -> Callable:
+    """Build ``fn(*inputs) -> output``: the model's eval forward with every
+    Dense/Conv/ConvTranspose running int8 on the MXU. Jittable."""
+    if "params" not in variables:
+        variables = {"params": variables}
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+
+    def interceptor(next_fun, args, kwargs, context):
+        m = context.module
+        if (
+            isinstance(m, _QUANT_TYPES)
+            and context.method_name == "__call__"
+            and _path_key(m) in act_scales
+            and getattr(m, "mask", None) is None
+        ):
+            return _apply_quantized(m, args[0], act_scales[_path_key(m)])
+        return next_fun(*args, **kwargs)
+
+    def forward(*inputs):
+        with nn.intercept_methods(interceptor):
+            out = model.apply(variables, *inputs, train=False)
+        return jax.tree_util.tree_map(
+            lambda t: t.astype(out_dtype), out
+        )
+
+    return forward
+
+
+def quantize_predict_fn(
+    model: nn.Module,
+    variables: dict | Any,
+    calibration_inputs: list[tuple] | np.ndarray,
+    out_dtype=jnp.float32,
+) -> Callable:
+    """Calibrate + build in one step.
+
+    ``calibration_inputs``: list of positional-arg tuples, or a single
+    frames array (split into chunks of 8 internally).
+    """
+    if isinstance(calibration_inputs, (np.ndarray, jax.Array)):
+        arr = np.asarray(calibration_inputs)
+        calibration_inputs = [
+            (jnp.asarray(arr[i : i + 8], jnp.float32),)
+            for i in range(0, min(len(arr), 32), 8)
+        ]
+    scales = calibrate_apply(model, variables, calibration_inputs)
+    return make_quantized_apply(model, variables, scales, out_dtype)

@@ -80,3 +80,76 @@ def test_quantized_peak_parity(trained):
         np.asarray(peaks.l2_distances(jnp.asarray(q_maps, jnp.float32), y))
     )
     assert l2_q <= l2_ref + 1.0, (l2_q, l2_ref)
+
+
+def test_generic_quantized_matches_basicnet(trained):
+    """The interceptor-based generic int8 path decodes the same peaks as the
+    hand-written BasicNet int8 path on a trained model."""
+    from pose_estimation_amitai_tpu.models.quantized_generic import (
+        quantize_predict_fn,
+    )
+
+    model, params, x, y = trained
+    qf = jax.jit(quantize_predict_fn(model, params, np.asarray(x)))
+    ref_maps = model.apply({"params": params}, x, train=False)
+    q_maps = qf(x)
+    d = np.linalg.norm(
+        np.asarray(peaks.find_peaks(ref_maps))
+        - np.asarray(peaks.find_peaks(jnp.asarray(q_maps, jnp.float32))),
+        axis=-1,
+    )
+    assert np.median(d) <= 1.0, np.median(d)
+
+
+def test_generic_quantized_vit_peak_parity():
+    """int8 serving extends to the ViT family (DESIGN roadmap): a trained
+    ViT's decoded peaks survive quantization."""
+    from pose_estimation_amitai_tpu.models.quantized_generic import (
+        calibrate_apply,
+        make_quantized_apply,
+    )
+
+    arrays = make_synthetic_arrays(num_frames=4, num_points=8, image_size=48,
+                                   seed=7)
+    cfg = Config(model_type="MODEL_18_POINTS_PER_WING_VIT", patch_size=16,
+                 projection_dim=64, transformer_layers=2, num_heads=4,
+                 dropout_ratio=0.0, compute_dtype="float32")
+    ds, _ = build_dataset(cfg, arrays)
+    x = ds.data["box"][:8].astype(jnp.float32)
+    y = ds.data["confmaps"][:8].astype(jnp.float32)
+    model = build_model(cfg, x.shape[1:], y.shape[-1])
+    params = model.init({"params": jax.random.key(0)}, x, train=False)[
+        "params"
+    ]
+    tx = optax.adam(1e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt):
+        def loss_fn(p):
+            pred = model.apply({"params": p}, x, train=False)
+            return jnp.mean(jnp.square(pred - y))
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        up, opt = tx.update(g, opt, params)
+        return optax.apply_updates(params, up), opt, loss
+
+    for _ in range(600):
+        params, opt, _ = step(params, opt)
+
+    scales = calibrate_apply(model, params, [(x,)])
+    # every Dense/Conv/ConvTranspose was seen by calibration: patch conv,
+    # 2 layers x (qkv, out, fc1, fc2), 4 decoder deconvs
+    assert len(scales) >= 1 + 2 * 4 + 4, sorted(scales)
+    qf = jax.jit(make_quantized_apply(model, params, scales))
+    ref_maps = model.apply({"params": params}, x, train=False)
+    q_maps = qf(x)
+    ref_pts = np.asarray(peaks.find_peaks(ref_maps))
+    q_pts = np.asarray(peaks.find_peaks(jnp.asarray(q_maps, jnp.float32)))
+    d = np.linalg.norm(ref_pts - q_pts, axis=-1)
+    assert np.median(d) <= 1.0, np.median(d)
+    l2_ref = np.median(np.asarray(peaks.l2_distances(ref_maps, y)))
+    l2_q = np.median(
+        np.asarray(peaks.l2_distances(jnp.asarray(q_maps, jnp.float32), y))
+    )
+    assert l2_q <= l2_ref + 1.5, (l2_q, l2_ref)
