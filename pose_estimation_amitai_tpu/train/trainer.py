@@ -90,13 +90,14 @@ class Trainer:
         # annotation, no hand-psum — see parallel/sharded.py).
         if n_dev > 1 and cfg.batch_size % n_dev == 0:
             from ..parallel.mesh import make_mesh
-            from ..parallel.sharded import (
-                make_sharded_train_step,
-                shard_state,
-            )
+            from ..parallel.sharded import make_sharded_train_step
+            from ..parallel.tensor import shard_state_tp
 
             self.mesh = make_mesh(cfg.mesh_shape or (n_dev,))
-            self.state = shard_state(self.mesh, self.state)
+            # 1-D mesh -> replicated params (pure DP); 2-D (data, model)
+            # mesh -> kernels column-sharded over ``model`` (TP by
+            # annotation, parallel/tensor.py)
+            self.state = shard_state_tp(self.mesh, self.state, cfg)
             self._sharded_step = make_sharded_train_step(
                 self.model, cfg, self.mesh
             )
@@ -200,7 +201,11 @@ class Trainer:
             print(f"Epoch {epoch + 1}/{cfg.epochs}", flush=True)
             t_epoch = time()
             self.dataset.shuffle_train_indices()
-            running = 0.0
+            # Losses stay on device until the epoch ends: a per-step
+            # ``float(loss)`` would synchronise the host with every update
+            # and stall dispatch (costly through remote-attached runtimes);
+            # deferring the fetch keeps the step stream pipelined.
+            step_losses = []
             for _ in range(updates_per_epoch):
                 idx = self.dataset.step_indices(cfg.batch_size, accum)
                 if self.mesh is not None:
@@ -210,8 +215,8 @@ class Trainer:
                         self.state, self.dataset.data, idx,
                         self.scheduler.lr_scale,
                     )
-                running += float(loss)
-            train_loss = running / updates_per_epoch
+                step_losses.append(loss)
+            train_loss = float(np.mean([float(l) for l in step_losses]))
             train_losses.append(train_loss)
             print(f"Train Loss: {train_loss:.7f}", flush=True)
 

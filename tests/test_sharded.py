@@ -95,6 +95,48 @@ def test_sharded_matches_single_device():
     )
 
 
+def test_tensor_parallel_annotation_equivalence():
+    """TP is a sharding annotation, not a rewrite (DESIGN promise): on a
+    (data=2, model=2) mesh with kernels column-sharded over ``model``, the
+    unchanged sharded train step produces the same update as 1-device."""
+    from pose_estimation_amitai_tpu.parallel.mesh import MODEL_AXIS
+    from pose_estimation_amitai_tpu.parallel.tensor import (
+        param_specs,
+        shard_state_tp,
+    )
+
+    _, cfg, model, state, batch = _setup(
+        4, do_augmentations=False, compute_dtype="float32"
+    )
+    mesh22 = make_mesh((2, 2), jax.devices()[:4])
+    mesh1 = make_mesh((1,), jax.devices()[:1])
+
+    tp_state = shard_state_tp(mesh22, state, cfg)
+    # at least one kernel really is sharded over the model axis
+    specs = jax.tree_util.tree_leaves(
+        param_specs(mesh22, state.params),
+        is_leaf=lambda x: isinstance(x, jax.sharding.NamedSharding),
+    )
+    assert any(MODEL_AXIS in str(s.spec) for s in specs)
+    leaf_shardings = [
+        l.sharding for l in jax.tree_util.tree_leaves(tp_state.params)
+    ]
+    assert any(not s.is_fully_replicated for s in leaf_shardings)
+
+    s22 = make_sharded_train_step(model, cfg, mesh22)
+    s1 = make_sharded_train_step(model, cfg, mesh1)
+    out22, loss22 = s22(tp_state, shard_microbatches(mesh22, batch),
+                        jnp.asarray(1.0))
+    out1, loss1 = s1(shard_state(mesh1, state),
+                     shard_microbatches(mesh1, batch), jnp.asarray(1.0))
+    np.testing.assert_allclose(float(loss22), float(loss1), rtol=2e-4)
+    l22 = jax.tree_util.tree_leaves(out22.params)[0]
+    l1 = jax.tree_util.tree_leaves(out1.params)[0]
+    np.testing.assert_allclose(
+        np.asarray(l22), np.asarray(l1), rtol=2e-3, atol=2e-5
+    )
+
+
 def test_sharded_batchnorm_cross_replica():
     """BatchNorm models train on the mesh: GSPMD computes the BN batch-mean
     globally over the sharded axis, so 8-device running stats match the
