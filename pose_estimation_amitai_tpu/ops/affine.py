@@ -143,15 +143,55 @@ def _cubic_weights(t: jax.Array) -> tuple[jax.Array, ...]:
     return w0, w1, w2, w3
 
 
+def _tap_offsets(order: int) -> list[tuple[int, int]]:
+    """(dy, dx) neighbourhood offsets for the interpolation order."""
+    rng = (0, 1) if order <= 1 else (-1, 0, 1, 2)
+    return [(dy, dx) for dy in rng for dx in rng]
+
+
+def _shifted_stack(image: jax.Array, order: int) -> jax.Array:
+    """(H, W, C) -> ((H+2p)*(W+2p), T*C) tap table over the zero-padded
+    grid: channel block t holds the padded image shifted by tap offset t.
+
+    Turns the T separate narrow gathers of the warp into ONE gather with
+    T*C-wide rows: the shifts are vectorized pad+slice copies (HBM-bandwidth
+    bound, cheap), and a single wide-row gather is several times faster on
+    TPU than T narrow ones (gather cost is per-row, not per-byte, at these
+    row sizes). Rows are indexed by the *padded* coordinates (y0+p, x0+p),
+    so bases down to -p stay exact at the borders (reads land in the zero
+    rim, matching BORDER_CONSTANT 0).
+    """
+    h, w, c = image.shape
+    p = 1 if order <= 1 else 2
+    # rim of 2p: p for the out-of-range base indices, p for the tap shifts
+    padded = jnp.pad(
+        image, ((2 * p, 2 * p), (2 * p, 2 * p), (0, 0)), constant_values=0
+    )
+    # plane_t[yq, xq] = padded_image[(yq - p) + dy, (xq - p) + dx] where
+    # (yq, xq) = (y0 + p, x0 + p) are padded-grid base coords; in padded
+    # array coords that is a slice starting at (p + dy, p + dx).
+    planes = [
+        jax.lax.dynamic_slice(
+            padded, (p + dy, p + dx, 0), (h + 2 * p, w + 2 * p, c)
+        )
+        for dy, dx in _tap_offsets(order)
+    ]
+    return jnp.concatenate(planes, axis=-1).reshape(
+        (h + 2 * p) * (w + 2 * p), -1
+    )
+
+
 def affine_warp(
     image: jax.Array, forward_matrix: jax.Array, order: int = 1
 ) -> jax.Array:
     """Inverse-warp one (H, W, C) image by a forward 3x3 affine matrix.
 
-    All channels are sampled in a single gather (the reference warps channel
-    by channel in Python, pytorch/Augmentor.py:96-103). Out-of-bounds reads
-    return 0. TPU note: the gather runs over flattened spatial indices —
-    ~2x faster than a 2-D gather on v5e.
+    All channels are sampled together (the reference warps channel by
+    channel in Python, pytorch/Augmentor.py:96-103). Out-of-bounds reads
+    return 0. TPU note: the T interpolation taps are pre-shifted into one
+    (H*W, T*C) table so the whole warp is ONE wide-row gather over
+    flattened spatial indices (see ``_shifted_stack``) — several times
+    faster than T narrow gathers on v5e.
     """
     h, w, c = image.shape
     inv = jnp.linalg.inv(forward_matrix.astype(jnp.float32))
@@ -163,33 +203,36 @@ def affine_warp(
     src_x = inv[0, 0] * xs + inv[0, 1] * ys + inv[0, 2]
     src_y = inv[1, 0] * xs + inv[1, 1] * ys + inv[1, 2]
 
+    x0 = jnp.floor(src_x)
+    y0 = jnp.floor(src_y)
+    tx = src_x - x0
+    ty = src_y - y0
     if order <= 1:
-        x0 = jnp.floor(src_x)
-        y0 = jnp.floor(src_y)
-        tx = src_x - x0
-        ty = src_y - y0
-        taps_x = [(x0, 1.0 - tx), (x0 + 1.0, tx)]
-        taps_y = [(y0, 1.0 - ty), (y0 + 1.0, ty)]
+        wx = (1.0 - tx, tx)
+        wy = (1.0 - ty, ty)
     else:
-        x0 = jnp.floor(src_x)
-        y0 = jnp.floor(src_y)
-        tx = src_x - x0
-        ty = src_y - y0
         wx = _cubic_weights(tx)
         wy = _cubic_weights(ty)
-        taps_x = [(x0 + (i - 1), wx[i]) for i in range(4)]
-        taps_y = [(y0 + (j - 1), wy[j]) for j in range(4)]
+
+    p = 1 if order <= 1 else 2
+    table = _shifted_stack(image.astype(jnp.float32), order)
+    # clamp the padded-grid base into range: whenever the clamp actually
+    # moves the base, every tap is out of bounds (weights masked to 0), so
+    # clamped reads never alias a wrong pixel
+    xc = jnp.clip(x0, -p, w - 1 + p).astype(jnp.int32) + p
+    yc = jnp.clip(y0, -p, h - 1 + p).astype(jnp.int32) + p
+    sample = jnp.take(table, (yc * (w + 2 * p) + xc).reshape(-1), axis=0)
+    sample = sample.reshape(h, w, len(wx) * len(wy), c)
 
     out = jnp.zeros((h, w, c), dtype=jnp.float32)
-    flat = image.astype(jnp.float32).reshape(h * w, c)
-    for yi, wy_ in taps_y:
-        for xi, wx_ in taps_x:
-            valid = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
-            xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
-            yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
-            sample = jnp.take(flat, (yc * w + xc).reshape(-1), axis=0)
-            weight = jnp.where(valid, wy_ * wx_, 0.0)
-            out = out + weight[..., None] * sample.reshape(h, w, c)
+    for t, (dy, dx) in enumerate(_tap_offsets(order)):
+        xi = x0 + dx
+        yi = y0 + dy
+        valid = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+        j = dy if order <= 1 else dy + 1
+        i = dx if order <= 1 else dx + 1
+        weight = jnp.where(valid, wy[j] * wx[i], 0.0)
+        out = out + weight[..., None] * sample[:, :, t, :]
     return out.astype(image.dtype)
 
 
