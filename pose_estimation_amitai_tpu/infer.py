@@ -91,16 +91,18 @@ class Predictor:
                 lambda v: jnp.asarray(v, jnp.float32), params
             )
             if is_basic:
-                # hand-scheduled int8 BasicNet (fastest flagship path)
+                # hand-scheduled int8 BasicNet with int8-resident
+                # activations (fastest flagship path: HBM-bound workload,
+                # so int8 storage halves the dominant traffic)
                 from .models.quantized import (
                     calibrate,
-                    make_quantized_forward,
+                    make_quantized_resident_forward,
                 )
 
                 scales = calibrate(
                     f32_params, np.asarray(calibration_frames)
                 )
-                quantized_fwd = make_quantized_forward(
+                quantized_fwd = make_quantized_resident_forward(
                     self.model, f32_params, scales, out_dtype=jnp.bfloat16
                 )
             else:

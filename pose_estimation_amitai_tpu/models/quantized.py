@@ -212,6 +212,75 @@ def make_quantized_fused_forward(
     return forward
 
 
+def make_quantized_resident_forward(
+    model: BasicNet, params, act_scales, out_dtype=jnp.bfloat16
+):
+    """int8-resident forward: activations *stored* int8 between layers.
+
+    The profiled bottleneck of the int8 path is HBM, not the MXU (convs run
+    ~450 GB/s memory-bound with bf16 inter-layer activations). Here every
+    layer's output is requantized to the next layer's input scale inside the
+    conv epilogue, so the tensors that actually round-trip HBM are int8 —
+    half the traffic. Two exact identities keep the math aligned with
+    :func:`make_quantized_forward`:
+
+    * residual adds read the stored int8 activation dequantized by its own
+      scale (adds one quantization of noise on the skip path — peak-decode
+      parity is verified on trained models in tests/test_quantized.py);
+    * ``quant(leaky(.))`` is monotone, so the 2x2 max-pool commutes with it
+      and pools int8 directly.
+
+    Returns ``fn(frames) -> heatmaps`` (``out_dtype``), jittable.
+    """
+    assert model.flavor == "torch"
+    q = quantize_params(params, act_scales)
+    inv = {n: jnp.bfloat16(1.0 / q[n]["s_x"]) for n in q}
+
+    def quant_to(name, x):
+        """f32 activation -> int8 at layer ``name``'s input scale."""
+        return jnp.clip(
+            jnp.round((x.astype(jnp.bfloat16) * inv[name]).astype(
+                jnp.float32)), -127, 127,
+        ).astype(jnp.int8)
+
+    def qconv(name, x_q, conv_fn):
+        layer = q[name]
+        y = conv_fn(x_q, layer["w_q"]).astype(jnp.float32)
+        return y * layer["mult"] + layer["bias"]
+
+    def dq(name, x_q):
+        """Stored int8 at ``name``'s scale -> f32 (for residual adds)."""
+        return x_q.astype(jnp.float32) * jnp.float32(q[name]["s_x"])
+
+    def forward(x):
+        c2 = lambda a, w: _conv(a, w, 2, acc=jnp.int32)
+        d2s = lambda a, w: _deconv_s2(a, w, acc=jnp.int32)
+        d1s = lambda a, w: _deconv_s1(a, w, acc=jnp.int32)
+
+        h = quant_to("conv1", x.astype(jnp.float32))
+        for s in range(3):
+            n1, n2, n3 = (f"conv{3 * s + k + 1}" for k in range(3))
+            nxt = f"conv{3 * s + 4}" if s < 2 else "deconv1"
+            q1 = quant_to(n2, _leaky(qconv(n1, h, c2)))
+            x2 = _leaky(qconv(n2, q1, c2)) + dq(n2, q1)
+            q2 = quant_to(n3, x2)
+            x3 = _leaky(qconv(n3, q2, c2)) + dq(n3, q2)
+            if s < 2:
+                # quant(leaky(.)) is monotone -> pool the int8 directly
+                h = _pool(quant_to(nxt, _leaky(x3)))
+            else:
+                h = quant_to(nxt, x3)
+        y1 = _leaky(qconv("deconv1", h, d2s))
+        q1 = quant_to("deconv2", y1)
+        y2 = _leaky(qconv("deconv2", q1, d1s)) + dq("deconv2", q1)
+        q2 = quant_to("deconv3", y2)
+        y3 = _leaky(qconv("deconv3", q2, d1s)) + dq("deconv3", q2)
+        q3 = quant_to("deconv4", y3)
+        return _leaky(qconv("deconv4", q3, d2s)).astype(out_dtype)
+
+    return forward
+
+
 def make_quantized_forward(
     model: BasicNet, params, act_scales, out_dtype=jnp.float32
 ):

@@ -82,6 +82,33 @@ def test_quantized_peak_parity(trained):
     assert l2_q <= l2_ref + 1.0, (l2_q, l2_ref)
 
 
+def test_quantized_resident_peak_parity(trained):
+    """The int8-resident serving path (activations stored int8 between
+    layers — the HBM-traffic-halving variant) preserves decoded peaks."""
+    from pose_estimation_amitai_tpu.models.quantized import (
+        make_quantized_resident_forward,
+    )
+
+    model, params, x, y = trained
+    scales = calibrate(params, np.asarray(x), batch=4)
+    qr = make_quantized_resident_forward(
+        model, params, scales, out_dtype=jnp.float32
+    )
+    ref_maps = model.apply({"params": params}, x, train=False)
+    q_maps = qr(x)
+    d = np.linalg.norm(
+        np.asarray(peaks.find_peaks(ref_maps))
+        - np.asarray(peaks.find_peaks(jnp.asarray(q_maps, jnp.float32))),
+        axis=-1,
+    )
+    assert np.median(d) <= 1.0, np.median(d)
+    l2_ref = np.median(np.asarray(peaks.l2_distances(ref_maps, y)))
+    l2_q = np.median(
+        np.asarray(peaks.l2_distances(jnp.asarray(q_maps, jnp.float32), y))
+    )
+    assert l2_q <= l2_ref + 1.0, (l2_q, l2_ref)
+
+
 def test_generic_quantized_matches_basicnet(trained):
     """The interceptor-based generic int8 path decodes the same peaks as the
     hand-written BasicNet int8 path on a trained model."""
