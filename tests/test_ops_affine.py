@@ -180,3 +180,75 @@ def test_augment_images_and_peaks_zero_val_channels(rng):
                 assert m[b, :, :, c].max() == 0.0
             else:
                 assert m[b, :, :, c].max() > 0.3
+
+
+def _warp_sep(img_hwc, params, order=1):
+    mats = affine.make_affine_matrix(params, img_hwc.shape[0], img_hwc.shape[1])
+    return np.asarray(
+        affine.affine_warp_separable_batch(jnp.asarray(img_hwc)[None], mats, order)[0]
+    )
+
+
+def test_separable_identity_and_flips(rng):
+    img = rng.random((32, 32, 3)).astype(np.float32)
+    np.testing.assert_allclose(_warp_sep(img, _params()), img, atol=1e-4)
+    np.testing.assert_allclose(
+        _warp_sep(img, _params(flip_h=True)), img[:, ::-1], atol=1e-4
+    )
+    np.testing.assert_allclose(
+        _warp_sep(img, _params(flip_v=True)), img[::-1], atol=1e-4
+    )
+
+
+def test_separable_integer_shift_exact(rng):
+    img = np.zeros((32, 32, 1), dtype=np.float32)
+    img[10:20, 12:22, 0] = rng.random((10, 10))
+    out = _warp_sep(img, _params(shift_x=3, shift_y=-2))
+    want = scipy_shift(img[..., 0], (-2, 3), order=1, cval=0.0)
+    np.testing.assert_allclose(out[..., 0], want, atol=1e-4)
+
+
+def test_separable_matches_exact_warp_on_smooth_images(rng):
+    """The two-pass warp must track the exact 2-D gather warp closely on
+    smooth images (interpolation is per-pass, so sub-percent differences
+    are expected; DESIGN.md pins statistics parity)."""
+    # smooth image: sum of Gaussians
+    from pose_estimation_amitai_tpu.ops.gaussian import confmaps_from_peaks
+
+    pk = jnp.asarray(rng.uniform(20, 44, (4, 6, 2)).astype(np.float32))
+    img = np.asarray(confmaps_from_peaks(pk, (64, 64), 4.0))
+    params = _params(
+        b=4, angle_deg=[13.0, -25.0, 80.0, 170.0], scale=[1.0, 0.9, 1.1, 1.0],
+        shift_x=[2.0, -3.5, 0.0, 1.0], shift_y=[0.0, 1.5, -2.0, 0.0],
+        flip_h=[False, True, False, True],
+    )
+    mats = affine.make_affine_matrix(params, 64, 64)
+    exact = np.asarray(affine.affine_warp_batch(jnp.asarray(img), mats, 1))
+    sep = np.asarray(
+        affine.affine_warp_separable_batch(jnp.asarray(img), mats, 1)
+    )
+    assert np.max(np.abs(exact - sep)) < 0.05, np.max(np.abs(exact - sep))
+    assert np.mean(np.abs(exact - sep)) < 2e-3
+
+
+def test_separable_90deg_rotation_direction():
+    """Angles near 90 deg exercise the rot90 pre-transform branch."""
+    img = np.zeros((33, 33, 1), dtype=np.float32)
+    img[16, 24, 0] = 1.0
+    out = _warp_sep(img, _params(angle_deg=90.0))
+    want = scipy_rotate(img[..., 0], 90.0, reshape=False, order=1)
+    got_pos = np.unravel_index(np.argmax(out[..., 0]), out[..., 0].shape)
+    want_pos = np.unravel_index(np.argmax(want), want.shape)
+    assert got_pos == want_pos, (got_pos, want_pos)
+
+
+def test_separable_zero_boundary():
+    img = np.ones((16, 16, 1), dtype=np.float32)
+    out = _warp_sep(img, _params(shift_x=8))
+    assert np.all(out[:, :7, 0] < 1e-4)
+
+
+def test_separable_cubic_identity(rng):
+    img = rng.random((32, 32, 2)).astype(np.float32)
+    out = _warp_sep(img, _params(), order=3)
+    np.testing.assert_allclose(out[2:-2, 2:-2], img[2:-2, 2:-2], atol=1e-3)
