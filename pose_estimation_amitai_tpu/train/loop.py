@@ -112,8 +112,10 @@ def make_train_step(model, cfg: Config):
             # at the transformed peaks (ensure_sigma semantics — and ~5x
             # less gather work than warping every target channel)
             key, akey = jax.random.split(key)
+            # warp in bf16: halves the separable warp's bandwidth, and the
+            # model computes in bf16 anyway (pixel error ~ uint8 quantum)
             box, confmaps = affine.augment_images_and_peaks(
-                akey, box,
+                akey, box.astype(jnp.bfloat16),
                 jnp.take(data["peaks"], ids, axis=0),
                 jnp.take(data["peak_vals"], ids, axis=0),
                 sigma=cfg.sigma,
