@@ -252,3 +252,22 @@ def test_separable_cubic_identity(rng):
     img = rng.random((32, 32, 2)).astype(np.float32)
     out = _warp_sep(img, _params(), order=3)
     np.testing.assert_allclose(out[2:-2, 2:-2], img[2:-2, 2:-2], atol=1e-3)
+
+
+def test_separable_matches_exact_warp_cubic(rng):
+    """Order-3 (Catmull-Rom) separable pass vs the exact 2-D cubic warp."""
+    from pose_estimation_amitai_tpu.ops.gaussian import confmaps_from_peaks
+
+    pk = jnp.asarray(rng.uniform(20, 44, (3, 5, 2)).astype(np.float32))
+    img = np.asarray(confmaps_from_peaks(pk, (64, 64), 4.0))
+    params = _params(
+        b=3, angle_deg=[21.0, -70.0, 115.0], scale=[1.05, 0.95, 1.0],
+        shift_x=[1.5, -2.0, 0.5], shift_y=[-1.0, 0.5, 2.0],
+    )
+    mats = affine.make_affine_matrix(params, 64, 64)
+    exact = np.asarray(affine.affine_warp_batch(jnp.asarray(img), mats, 3))
+    sep = np.asarray(
+        affine.affine_warp_separable_batch(jnp.asarray(img), mats, 3)
+    )
+    assert np.max(np.abs(exact - sep)) < 0.06, np.max(np.abs(exact - sep))
+    assert np.mean(np.abs(exact - sep)) < 2e-3
