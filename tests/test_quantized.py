@@ -180,3 +180,51 @@ def test_generic_quantized_vit_peak_parity():
         np.asarray(peaks.l2_distances(jnp.asarray(q_maps, jnp.float32), y))
     )
     assert l2_q <= l2_ref + 1.5, (l2_q, l2_ref)
+
+
+def test_generic_quantized_multicam_peak_parity():
+    """int8 serving extends to the 4-camera fusion family: a trained
+    MultiCamNet's decoded peaks survive generic quantization (one
+    interceptor serves the whole zoo — DESIGN.md)."""
+    from pose_estimation_amitai_tpu.models.quantized_generic import (
+        calibrate_apply,
+        make_quantized_apply,
+    )
+
+    hw, k = 48, 8
+    rng = np.random.default_rng(11)
+    cfg = Config(model_type="ALL_CAMS_18_POINTS", num_base_filters=8,
+                 num_blocks=2, dropout_ratio=0.0, compute_dtype="float32")
+    x = jnp.asarray(rng.random((6, hw, hw, 16), np.float32))
+    pk = jnp.asarray(rng.uniform(8, 40, (6, 4 * k, 2)).astype(np.float32))
+    from pose_estimation_amitai_tpu.ops.gaussian import confmaps_from_peaks
+
+    y = confmaps_from_peaks(pk, (hw, hw), 3.0)
+    model = build_model(cfg, x.shape[1:], 4 * k)
+    params = model.init({"params": jax.random.key(1)}, x, train=False)[
+        "params"
+    ]
+    tx = optax.adam(1e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt):
+        def loss_fn(p):
+            pred = model.apply({"params": p}, x, train=False)
+            return jnp.mean(jnp.square(pred - y))
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        up, opt = tx.update(g, opt, params)
+        return optax.apply_updates(params, up), opt, loss
+
+    for _ in range(150):
+        params, opt, _ = step(params, opt)
+
+    scales = calibrate_apply(model, params, [(x,)])
+    qf = jax.jit(make_quantized_apply(model, params, scales))
+    ref_maps = model.apply({"params": params}, x, train=False)
+    q_maps = qf(x)
+    ref_pts = np.asarray(peaks.find_peaks(ref_maps))
+    q_pts = np.asarray(peaks.find_peaks(jnp.asarray(q_maps, jnp.float32)))
+    d = np.linalg.norm(ref_pts - q_pts, axis=-1)
+    assert np.median(d) <= 1.0, np.median(d)
