@@ -366,10 +366,12 @@ def affine_warp_separable_batch(
     applied per 1-D pass, so results differ from the exact 2-D kernel at the
     sub-percent level on smooth images (tested); augmentation-statistics
     parity is the contract here (DESIGN.md), not pixel equality.
-    Requires square images (the problem's crops are always 192x192).
+    The rot90 pre-transform requires square images (the problem's crops are
+    always 192x192); non-square inputs fall back to the exact gather warp.
     """
     bsz, h, w, c = images.shape
-    assert h == w, "separable warp assumes square crops"
+    if h != w:
+        return affine_warp_batch(images, forward_matrices, order)
     inv = jnp.linalg.inv(forward_matrices.astype(jnp.float32))  # (B, 3, 3)
 
     # rot90 pre-transform when |a01| > |a11|: img2[y2, x2] = img[x2, W-1-y2]
