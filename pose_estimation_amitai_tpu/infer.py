@@ -201,22 +201,30 @@ class Predictor:
             return np.concatenate(maps, axis=0), pts
         return pts
 
-    def predict_movie(self, frames: np.ndarray) -> np.ndarray:
-        """Throughput-oriented decode of a whole movie.
+    def predict_movie(
+        self, frames: np.ndarray, prefetch: int = 4
+    ) -> np.ndarray:
+        """Throughput-oriented streaming decode of a whole movie.
 
-        Pre-stages all full chunks on device, dispatches the jitted program
-        over them without per-chunk synchronisation, then fetches the (tiny)
-        decoded-peak outputs. Tail handled via __call__.
+        Keeps at most ``prefetch`` chunks in flight: chunk i+prefetch is
+        staged (async host->device copy) and dispatched while chunk i's
+        (tiny) decoded-peak output is fetched — compute, transfers and host
+        work overlap, and device memory stays bounded at
+        ``prefetch * chunk_size`` frames regardless of movie length (a
+        100k-frame movie does NOT fit in HBM whole). Tail via __call__.
         """
         assert not self.return_heatmaps, "movie path decodes peaks only"
         n = frames.shape[0]
         cs = self.chunk_size
         n_full = n // cs
-        staged = [
-            self._stage(frames[i * cs : (i + 1) * cs]) for i in range(n_full)
-        ]
-        results = [self._run(self.params, c) for c in staged]  # pipelined
-        out = [np.asarray(r) for r in results]
+        out = []
+        in_flight: list = []
+        for i in range(n_full):
+            chunk = self._stage(frames[i * cs : (i + 1) * cs])
+            in_flight.append(self._run(self.params, chunk))  # async dispatch
+            if len(in_flight) >= prefetch:
+                out.append(np.asarray(in_flight.pop(0)))
+        out.extend(np.asarray(r) for r in in_flight)
         if n_full * cs < n:
             out.append(self(frames[n_full * cs :]))
         return np.concatenate(out, axis=0) if out else np.zeros((0, 3, 1))

@@ -144,3 +144,16 @@ def test_evaluate_l2_perfect_predictor_is_zero(predictor):
     stats = evaluate_l2(predictor, frames, heat)
     assert stats["l2_mean"] == 0.0
     assert len(stats["l2_per_point"]) == OUT_CH
+
+
+def test_predict_movie_streaming_matches_call(predictor):
+    """The bounded-prefetch streaming movie path must agree with the plain
+    chunked __call__ on an odd-length movie (window smaller than the chunk
+    count, so eviction is exercised)."""
+    rng = np.random.default_rng(5)
+    frames = rng.random(
+        (predictor.chunk_size * 3 + 3, HW, HW, IN_CH)
+    ).astype(np.float32)
+    a = predictor.predict_movie(frames, prefetch=2)
+    b = predictor(frames)
+    np.testing.assert_allclose(a, b, atol=1e-5)
