@@ -27,7 +27,9 @@ found by bisection — each violation hard-crashes the AOT compiler):
 * staged widths must be 8-aligned -> padded input buffer;
 * boolean masks must be expanded via f32 (minor-dim insertion is 32-bit only).
 
-Used by the inference fast path (models/fast_infer.py) and bench.py; training
+Exposed through models/fast_infer.py (Predictor ``use_fused``); the shipping
+benchmark path is the XLA int8-resident forward (models/quantized.py), which
+measured faster end to end — see DESIGN.md "Measured verdict". Training
 keeps the flax/XLA path (autodiff-friendly).
 """
 
