@@ -397,16 +397,24 @@ def affine_warp_separable_batch(
     p = a00 - q * a10
     r = t0 - q * t1
 
+    # Each pass interpolates twice (shear blend + resample kernel), so a
+    # bilinear kernel here smooths FOUR times per pixel — measurably softer
+    # images than the exact warp, which cost ~1 px of converged val L2 on
+    # the flagship task. Catmull-Rom's negative lobes preserve amplitude
+    # under repeated application, so the separable passes always use it;
+    # integer shifts, flips and the rot90 branch remain exact (the kernel
+    # is a delta at integer offsets).
+    o = max(int(order), 3)
     cy = (h - 1) / 2.0
     ys = jnp.arange(h, dtype=jnp.float32) - cy
     # pass X: u = p*xo + q*y + r == shift by q*(y-cy), then stride-p resample
-    x = _row_fractional_shift(x, q[:, None] * ys[None, :], order)
-    x = _row_resample(x, p, r + q * cy, order)
+    x = _row_fractional_shift(x, q[:, None] * ys[None, :], o)
+    x = _row_resample(x, p, r + q * cy, o)
     # pass Y: v = a11*yo + a10*xo + t1, same machinery along columns
     x = jnp.swapaxes(x, 1, 2)
     xs = jnp.arange(w, dtype=jnp.float32) - cy
-    x = _row_fractional_shift(x, a10[:, None] * xs[None, :], order)
-    x = _row_resample(x, a11, t1 + a10 * cy, order)
+    x = _row_fractional_shift(x, a10[:, None] * xs[None, :], o)
+    x = _row_resample(x, a11, t1 + a10 * cy, o)
     x = jnp.swapaxes(x, 1, 2)
     return x.astype(images.dtype)
 
