@@ -88,6 +88,8 @@ _ALIASES: dict[str, tuple[str, ...]] = {
     "sigma": ("sigma",),
     "profile": ("profile",),
     "nan_debug": ("nan_debug",),
+    "host_resident_data": ("host_resident_data",),
+    "device_dataset_budget_mb": ("device_dataset_budget_mb",),
 }
 
 
@@ -166,6 +168,9 @@ class Config:
     sigma: float = 3.0  # Gaussian confmap sigma (simple_data_generator.py:120)
     profile: bool = False  # jax.profiler trace around the train loop
     nan_debug: bool = False  # jax debug_nans (analog of detect_anomaly)
+    host_resident_data: bool = False  # force the HostDataset streaming feed
+    # auto-switch to HostDataset above this estimated dataset size
+    device_dataset_budget_mb: int = 8192
 
     raw: dict[str, Any] = field(default_factory=dict, repr=False, compare=False)
 

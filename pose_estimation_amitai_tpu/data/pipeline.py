@@ -38,6 +38,8 @@ class DeviceDataset:
     keep batch size constant).
     """
 
+    _device_resident = True
+
     def __init__(
         self,
         cfg: Config,
@@ -51,19 +53,27 @@ class DeviceDataset:
         val_size = round(n * cfg.val_fraction)
         self.val_inds = order[:val_size]
         self.train_inds = order[val_size:]
-        # Device-resident dataset (donate to HBM once).
-        self.data = {k: jnp.asarray(v) for k, v in data.items()}
+        if self._device_resident:
+            # Device-resident dataset (donate to HBM once).
+            self.data = {k: jnp.asarray(v) for k, v in data.items()}
+        else:
+            self.data = {k: np.asarray(v) for k, v in data.items()}
         if "confmaps" in self.data and "peaks" not in self.data:
             # Decoded GT peaks + amplitudes: the augmentation fast path
             # re-renders targets from these (ops/affine.py
             # augment_images_and_peaks) instead of warping every channel.
             from ..ops import peaks as peaks_ops
 
-            pv = jax.jit(peaks_ops.find_peaks_with_vals)(
-                self.data["confmaps"]
-            )  # (N, 3, K)
-            self.data["peaks"] = jnp.transpose(pv[:, :2, :], (0, 2, 1))
-            self.data["peak_vals"] = pv[:, 2, :]
+            decode = jax.jit(peaks_ops.find_peaks_with_vals)
+            pvs = []
+            for i in range(0, n, 512):  # chunked: host datasets can be huge
+                pvs.append(np.asarray(
+                    decode(jnp.asarray(self.data["confmaps"][i : i + 512]))
+                ))
+            pv = np.concatenate(pvs, axis=0)  # (N, 3, K)
+            conv = jnp.asarray if self._device_resident else np.asarray
+            self.data["peaks"] = conv(np.transpose(pv[:, :2, :], (0, 2, 1)))
+            self.data["peak_vals"] = conv(pv[:, 2, :])
         self.num_samples = n
         self._epoch_order = self.train_inds.copy()
         self._cursor = 0
@@ -106,6 +116,79 @@ class DeviceDataset:
         for k in ("P", "P_inv"):
             if k in self.data:
                 batch[k] = jnp.take(self.data[k], ids, axis=0)
+        return batch
+
+    # -- train-step feeds ----------------------------------------------------
+    def step_payload(self, idx: np.ndarray):
+        """(data, idx) pair consumed by the jitted train step.
+
+        Device-resident: the whole dataset dict plus global indices — the
+        gather happens inside the step on device.
+        """
+        return self.data, jnp.asarray(idx)
+
+    def microbatch_arrays(self, idx: np.ndarray) -> dict[str, jax.Array]:
+        """(accum, B, ...) gathered arrays for the mesh-sharded step."""
+        ids = jnp.asarray(idx)
+        batch = {
+            "image": jnp.take(self.data["box"], ids, axis=0),
+            "confmaps": jnp.take(self.data["confmaps"], ids, axis=0),
+        }
+        for k in ("P", "P_inv", "peaks", "peak_vals"):
+            if k in self.data:
+                batch[k] = jnp.take(self.data[k], ids, axis=0)
+        return batch
+
+
+class HostDataset(DeviceDataset):
+    """Host-RAM-resident variant for datasets that exceed the HBM budget.
+
+    The reference's datasets (hundreds of frames) fit in HBM whole, but
+    production movies do not: 100k frames of 192x192x22 f32 is ~32 GB. Here
+    the arrays stay in host memory; each step host-gathers the (accum*B)
+    window with NumPy fancy indexing and ships it with an async
+    ``device_put``, while the previous step is still running on device — a
+    one-step implicit pipeline (dispatch is asynchronous), bounding device
+    memory at window size. Targets still re-render on device from peak
+    coordinates, so the shipped window is images + (K, 2) peaks — the bulky
+    (B, H, W, K) confmaps never cross the host-device link on the train path.
+
+    Selected by ``Config.host_resident_data`` or automatically when the
+    dataset exceeds ``Config.device_dataset_budget_mb`` (build_dataset).
+    """
+
+    _device_resident = False
+
+    def step_payload(self, idx: np.ndarray):
+        flat = idx.reshape(-1)
+        window: dict[str, jax.Array] = {}
+        for k in ("box", "peaks", "peak_vals", "P", "P_inv"):
+            if k in self.data:
+                window[k] = jnp.asarray(self.data[k][flat])
+        if "peaks" not in self.data:
+            window["confmaps"] = jnp.asarray(self.data["confmaps"][flat])
+        local = np.arange(flat.size, dtype=np.int32).reshape(idx.shape)
+        return window, jnp.asarray(local)
+
+    def microbatch_arrays(self, idx: np.ndarray) -> dict[str, jax.Array]:
+        batch = {
+            "image": jnp.asarray(self.data["box"][idx]),
+            "confmaps": jnp.asarray(self.data["confmaps"][idx]),
+        }
+        for k in ("P", "P_inv", "peaks", "peak_vals"):
+            if k in self.data:
+                batch[k] = jnp.asarray(self.data[k][idx])
+        return batch
+
+    def gather(self, ids: np.ndarray) -> dict[str, jax.Array]:
+        ids = np.asarray(ids)
+        batch = {
+            "image": jnp.asarray(self.data["box"][ids]),
+            "confmaps": jnp.asarray(self.data["confmaps"][ids]),
+        }
+        for k in ("P", "P_inv"):
+            if k in self.data:
+                batch[k] = jnp.asarray(self.data[k][ids])
         return batch
 
 
@@ -214,7 +297,12 @@ def build_dataset(
         data = {"box": box, "confmaps": confmaps, "P": P, "P_inv": P_inv}
     else:
         data = {"box": pre.get_box(), "confmaps": pre.get_confmaps()}
-    return DeviceDataset(cfg, data), pre
+    nbytes = sum(np.asarray(v).nbytes for v in data.values())
+    use_host = cfg.host_resident_data or (
+        nbytes > cfg.device_dataset_budget_mb * 2**20
+    )
+    cls = HostDataset if use_host else DeviceDataset
+    return cls(cfg, data), pre
 
 
 def _assemble_disentangled(pre: Preprocessor) -> tuple[np.ndarray, np.ndarray]:

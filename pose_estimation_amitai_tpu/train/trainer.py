@@ -211,8 +211,9 @@ class Trainer:
                 if self.mesh is not None:
                     self.state, loss = self._run_sharded_step(idx)
                 else:
+                    data, step_idx = self.dataset.step_payload(idx)
                     self.state, loss = self.train_step(
-                        self.state, self.dataset.data, idx,
+                        self.state, data, step_idx,
                         self.scheduler.lr_scale,
                     )
                 step_losses.append(loss)
@@ -278,14 +279,7 @@ class Trainer:
 
         from ..parallel.sharded import shard_microbatches
 
-        ids = jnp.asarray(idx)
-        batch = {
-            "image": jnp.take(self.dataset.data["box"], ids, axis=0),
-            "confmaps": jnp.take(self.dataset.data["confmaps"], ids, axis=0),
-        }
-        for k in ("P", "P_inv", "peaks", "peak_vals"):
-            if k in self.dataset.data:
-                batch[k] = jnp.take(self.dataset.data[k], ids, axis=0)
+        batch = self.dataset.microbatch_arrays(idx)
         batch = shard_microbatches(self.mesh, batch)
         return self._sharded_step(
             self.state, batch, jnp.asarray(self.scheduler.lr_scale)

@@ -111,3 +111,66 @@ def test_build_dataset_flagship_per_wing():
     assert box.shape[1:3] == (48, 48)
     # per-wing: half the wing points + head/tail
     assert cm.shape[-1] == 8 // 2 + 2
+
+
+def test_host_dataset_matches_device_dataset_training():
+    """HostDataset (streaming feed for datasets beyond the HBM budget) must
+    train equivalently to DeviceDataset: same split, same batches, matching
+    losses over several steps."""
+    import jax.numpy as jnp
+
+    from pose_estimation_amitai_tpu.data.pipeline import (
+        DeviceDataset, HostDataset,
+    )
+    from pose_estimation_amitai_tpu.data.synthetic import make_synthetic_arrays
+    from pose_estimation_amitai_tpu.models import build_model
+    from pose_estimation_amitai_tpu.train import loop as L
+
+    cfg = Config(
+        model_type="MODEL_18_POINTS_PER_WING", batch_size=4,
+        num_base_filters=8, dropout_ratio=0.0, do_augmentations=True,
+        rotation_range=20.0, xy_shifts=3.0,
+    )
+    arrays = make_synthetic_arrays(num_frames=6, num_points=6, image_size=48,
+                                   seed=3)
+    ds_dev, _ = build_dataset(cfg, dict(arrays))
+    assert type(ds_dev) is DeviceDataset
+    # build the host twin from the SAME preprocessed arrays
+    from pose_estimation_amitai_tpu.data.preprocess import Preprocessor
+
+    pre = Preprocessor(cfg, dict(arrays))
+    pre.do_preprocess()
+    data_np = {"box": pre.get_box(), "confmaps": pre.get_confmaps()}
+    ds_host = HostDataset(cfg, data_np)
+
+    np.testing.assert_array_equal(ds_dev.train_inds, ds_host.train_inds)
+
+    model = build_model(cfg, ds_dev.data["box"].shape[1:],
+                        ds_dev.data["confmaps"].shape[-1])
+    sample = ds_dev.gather(np.asarray(ds_dev.train_inds[:2], np.int32))
+    state_a = L.create_train_state(model, cfg, sample, seed=0)
+    state_b = state_a
+    step = L.make_train_step(model, cfg)
+
+    for _ in range(3):
+        idx = ds_dev.step_indices(cfg.batch_size, 1)
+        da, ia = ds_dev.step_payload(idx)
+        state_a, loss_a = step(state_a, da, ia, jnp.float32(1.0))
+        db, ib = ds_host.step_payload(idx)
+        state_b, loss_b = step(state_b, db, ib, jnp.float32(1.0))
+        assert abs(float(loss_a) - float(loss_b)) < 1e-5, (
+            float(loss_a), float(loss_b),
+        )
+
+
+def test_build_dataset_auto_switches_to_host():
+    from pose_estimation_amitai_tpu.data.pipeline import HostDataset
+    from pose_estimation_amitai_tpu.data.synthetic import make_synthetic_arrays
+
+    cfg = Config(model_type="MODEL_18_POINTS_PER_WING",
+                 device_dataset_budget_mb=1)
+    arrays = make_synthetic_arrays(num_frames=6, num_points=6, image_size=48,
+                                   seed=3)
+    ds, _ = build_dataset(cfg, arrays)
+    assert type(ds) is HostDataset
+    assert isinstance(ds.data["box"], np.ndarray)
