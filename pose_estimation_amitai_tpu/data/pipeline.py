@@ -107,6 +107,36 @@ class DeviceDataset:
             chunk = inds[i : i + batch_size]
             yield np.asarray(chunk, np.int32), len(chunk)
 
+    def val_payloads(self, batch_size: int):
+        """Pre-gathered validation batches: ``(batch_dict, n_valid)``.
+
+        The val split is static, so the (slow on TPU — narrow-row) gather of
+        the (N, H, W, K) confmaps happens ONCE; every epoch's eval then
+        reads contiguous slices of the cached arrays. Device-resident
+        datasets cache on device; host datasets keep the cache in host RAM
+        and ship slices per batch.
+        """
+        if not hasattr(self, "_val_cache"):
+            ids = self.val_inds
+            if self._device_resident:
+                def take(k):
+                    return jnp.take(self.data[k], jnp.asarray(ids), axis=0)
+            else:
+                def take(k):
+                    return self.data[k][ids]
+            cache = {"image": take("box"), "confmaps": take("confmaps")}
+            for k in ("P", "P_inv"):
+                if k in self.data:
+                    cache[k] = take(k)
+            self._val_cache = cache
+        n = len(self.val_inds)
+        for i in range(0, n, batch_size):
+            stop = min(i + batch_size, n)
+            yield (
+                {k: jnp.asarray(v[i:stop]) for k, v in self._val_cache.items()},
+                stop - i,
+            )
+
     def gather(self, ids: np.ndarray) -> dict[str, jax.Array]:
         ids = jnp.asarray(ids)
         batch = {

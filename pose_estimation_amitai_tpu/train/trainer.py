@@ -291,8 +291,7 @@ class Trainer:
         cfg = self.cfg
         total, count = 0.0, 0
         l2_chunks = []
-        for ids, n_valid in self.dataset.val_batches(cfg.batch_size):
-            batch = self.dataset.gather(ids)
+        for batch, n_valid in self.dataset.val_payloads(cfg.batch_size):
             mse, l2 = self.eval_step(self.state, batch)
             total += float(mse) * n_valid
             count += n_valid
