@@ -90,6 +90,7 @@ _ALIASES: dict[str, tuple[str, ...]] = {
     "nan_debug": ("nan_debug",),
     "host_resident_data": ("host_resident_data",),
     "device_dataset_budget_mb": ("device_dataset_budget_mb",),
+    "distributed": ("distributed",),
 }
 
 
@@ -171,6 +172,7 @@ class Config:
     host_resident_data: bool = False  # force the HostDataset streaming feed
     # auto-switch to HostDataset above this estimated dataset size
     device_dataset_budget_mb: int = 8192
+    distributed: bool = False  # join a multi-host cluster (jax.distributed)
 
     raw: dict[str, Any] = field(default_factory=dict, repr=False, compare=False)
 

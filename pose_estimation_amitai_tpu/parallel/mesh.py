@@ -23,6 +23,39 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def maybe_initialize_distributed(cfg=None) -> bool:
+    """Join a multi-host JAX cluster when one is configured.
+
+    SURVEY §2.4: DCN-scale coordination is "free via jax distributed init" —
+    this is that hook. On Cloud TPU pods `jax.distributed.initialize()`
+    autodetects coordinator/process ranks from the TPU metadata; elsewhere it
+    reads the standard JAX_COORDINATOR_ADDRESS / JAX_PROCESS_ID /
+    JAX_NUM_PROCESSES env vars. After it succeeds, ``jax.devices()`` spans
+    the whole pod and :func:`make_mesh` builds a global mesh — the train
+    step is unchanged (GSPMD routes the gradient psum over ICI within hosts
+    and DCN across them from the same sharding annotations).
+
+    Called from the Trainer when ``Config.distributed`` is set (or always
+    safe to call: it is a no-op when no cluster is configured). Returns True
+    when a multi-process runtime was initialised.
+    """
+    import os
+
+    want = bool(getattr(cfg, "distributed", False)) or (
+        "JAX_COORDINATOR_ADDRESS" in os.environ
+    )
+    if not want:
+        return False
+    if jax.process_count() > 1:  # already initialised
+        return True
+    try:
+        jax.distributed.initialize()
+    except Exception as e:  # single-process fallback keeps local runs alive
+        print(f"jax.distributed.initialize() skipped: {e}", flush=True)
+        return False
+    return jax.process_count() > 1
+
+
 def make_mesh(
     mesh_shape: tuple[int, ...] = (), devices: list | None = None
 ) -> Mesh:

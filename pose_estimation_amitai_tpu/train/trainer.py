@@ -76,6 +76,11 @@ class Trainer:
         self.state = create_train_state(self.model, cfg, sample_batch, cfg.seed)
         self._maybe_load_pretrained()
 
+        # Multi-host: join the pod-level JAX cluster first so jax.devices()
+        # spans every host (no-op unless configured — parallel/mesh.py).
+        from ..parallel.mesh import maybe_initialize_distributed
+
+        maybe_initialize_distributed(cfg)
         # Multi-chip data parallelism (SURVEY §2.4): with >1 device (or an
         # explicit mesh_shape) batches shard over the mesh's data axis and
         # XLA all-reduces gradients over ICI; single-chip keeps the
