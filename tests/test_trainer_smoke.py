@@ -92,3 +92,31 @@ def test_accumulation_steps_run(tmp_path, arrays):
     )
     history = trainer.train()
     assert np.isfinite(history["train_loss"][0])
+
+
+def test_trainer_with_host_resident_dataset(tmp_path):
+    """End-to-end Trainer run on the streaming HostDataset feed
+    (host_resident_data=1): trains, writes artifacts, loss finite."""
+    import json
+
+    from pose_estimation_amitai_tpu.data.pipeline import HostDataset
+    from pose_estimation_amitai_tpu.data.synthetic import make_synthetic_arrays
+    from pose_estimation_amitai_tpu.train.trainer import Trainer
+
+    arrays = make_synthetic_arrays(num_frames=6, num_points=6, image_size=48,
+                                   seed=2)
+    cfg = {
+        "model type": "MODEL_18_POINTS_PER_WING",
+        "batch_size": 4, "epochs": 2, "batches per epoch": 2,
+        "val_fraction": 0.5, "learning rate": 0.001,
+        "number of base filters": 8, "dropout ratio": 0.0,
+        "base output path": str(tmp_path), "host_resident_data": 1,
+    }
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps(cfg))
+    tr = Trainer(str(p), arrays=arrays)
+    assert type(tr.dataset) is HostDataset
+    hist = tr.train()
+    assert np.isfinite(hist["val_loss"]).all()
+    run = tr.run_path
+    assert os.path.exists(os.path.join(run, "losses.csv"))
