@@ -151,8 +151,11 @@ def main(argv: list[str] | None = None) -> int:
             s.add_argument("out", nargs="?", default="")
         s.add_argument("--chunk-size", type=int, default=256)
         s.add_argument(
-            "--decode", choices=("argmax", "soft"), default="argmax",
-            help="peak decoder: hard argmax or differentiable soft-argmax",
+            "--decode", choices=("argmax", "soft", "refined"),
+            default="argmax",
+            help="peak decoder: hard argmax, differentiable soft-argmax, or "
+                 "sub-pixel log-parabola refinement (exact for Gaussian "
+                 "targets)",
         )
         s.add_argument(
             "--quantized", action="store_true",

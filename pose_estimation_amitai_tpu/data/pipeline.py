@@ -62,9 +62,13 @@ class DeviceDataset:
             # Decoded GT peaks + amplitudes: the augmentation fast path
             # re-renders targets from these (ops/affine.py
             # augment_images_and_peaks) instead of warping every channel.
+            # Sub-pixel decode (log-parabola, exact for Gaussian maps):
+            # integer-argmax here would snap every training target to the
+            # pixel grid and cap the achievable keypoint accuracy at
+            # quantisation level.
             from ..ops import peaks as peaks_ops
 
-            decode = jax.jit(peaks_ops.find_peaks_with_vals)
+            decode = jax.jit(peaks_ops.find_peaks_refined)
             pvs = []
             for i in range(0, n, 512):  # chunked: host datasets can be huge
                 pvs.append(np.asarray(

@@ -50,8 +50,11 @@ class Predictor:
         decode: str = "argmax",
         mesh=None,
     ):
-        """``decode``: 'argmax' (tf_find_peaks parity) or 'soft' — the
-        differentiable soft-argmax decoder (pytorch/utils.py:47-83).
+        """``decode``: 'argmax' (tf_find_peaks parity), 'soft' — the
+        differentiable soft-argmax decoder (pytorch/utils.py:47-83) — or
+        'refined' — sub-pixel log-parabola refinement around the argmax
+        (exact for the sigma-Gaussian target family; ops/peaks.py
+        find_peaks_refined), which beats both reference decoders.
 
         ``mesh``: optional ``jax.sharding.Mesh`` — frames shard over the
         ``data`` axis (params replicated); chunk_size must divide by the
@@ -135,6 +138,8 @@ class Predictor:
                 pts = jnp.concatenate(
                     [jnp.transpose(xy, (0, 2, 1)), vals[:, None, :]], axis=1
                 )
+            elif decode == "refined":
+                pts = peaks.find_peaks_refined(maps)  # (B, 3, K)
             else:
                 pts = peaks.find_peaks_with_vals(maps)  # (B, 3, K)
             if return_heatmaps:

@@ -74,3 +74,29 @@ def test_peaks_jit_and_grad():
 
     g = jax.jit(jax.grad(loss))(maps)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_refined_decode_recovers_subpixel_centers(rng):
+    """Log-parabola refinement recovers continuous Gaussian centres to well
+    under 0.1 px (exact modulo float precision), where argmax is +-0.5 px."""
+    from pose_estimation_amitai_tpu.ops.gaussian import confmaps_from_peaks
+
+    true = jnp.asarray(rng.uniform(8.3, 39.2, (6, 5, 2)).astype(np.float32))
+    maps = confmaps_from_peaks(true, (48, 48), 3.0)
+    ref = np.asarray(peaks.find_peaks_refined(maps))  # (N, 3, K)
+    got = np.transpose(ref[:, :2, :], (0, 2, 1))  # (N, K, 2)
+    err_refined = np.abs(got - np.asarray(true)).max()
+    hard = np.asarray(peaks.find_peaks(maps))
+    err_hard = np.abs(hard - np.asarray(true)).max()
+    assert err_refined < 0.05, err_refined
+    assert err_refined < err_hard  # argmax quantises to the pixel grid
+
+
+def test_refined_decode_zero_channel_and_border(rng):
+    """Empty channels and border peaks fall back to the integer argmax."""
+    maps = np.zeros((1, 16, 16, 2), np.float32)
+    maps[0, 0, 15, 0] = 1.0  # corner peak
+    out = np.asarray(peaks.find_peaks_refined(jnp.asarray(maps)))
+    assert out[0, 0, 0] == 15.0 and out[0, 1, 0] == 0.0  # x, y unmoved
+    assert out[0, 2, 1] == 0.0  # empty channel val
+    assert np.isfinite(out).all()
