@@ -157,3 +157,21 @@ def test_predict_movie_streaming_matches_call(predictor):
     a = predictor.predict_movie(frames, prefetch=2)
     b = predictor(frames)
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_lift_to_3d_refined_decode_removes_quantisation_floor():
+    """Refined sub-pixel decode of GT maps triangulates back to the true 3D
+    points essentially exactly (micron scale), vs argmax's ~0.07 mm pixel
+    quantisation floor."""
+    arrs = make_synthetic_arrays(num_frames=4, num_points=6, seed=3)
+    confmaps = arrs["confmaps"]
+    f, ncams, h, w, k = confmaps.shape
+    from pose_estimation_amitai_tpu.ops import peaks as peaks_ops
+
+    flat = jnp.asarray(confmaps.reshape(-1, h, w, k))
+    ref = np.transpose(
+        np.asarray(peaks_ops.find_peaks_refined(flat))[:, :2, :], (0, 2, 1)
+    ).reshape(f, ncams, k, 2)
+    lifted = lift_to_3d(ref, arrs["cropZone"], arrs["cameras_dlt_array"])
+    err = np.linalg.norm(lifted - arrs["points_3D"], axis=-1)
+    assert np.median(err) < 1e-6, np.median(err)
