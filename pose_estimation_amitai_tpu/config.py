@@ -91,6 +91,7 @@ _ALIASES: dict[str, tuple[str, ...]] = {
     "host_resident_data": ("host_resident_data",),
     "device_dataset_budget_mb": ("device_dataset_budget_mb",),
     "distributed": ("distributed",),
+    "eval_decode": ("eval_decode",),
 }
 
 
@@ -173,6 +174,8 @@ class Config:
     # auto-switch to HostDataset above this estimated dataset size
     device_dataset_budget_mb: int = 8192
     distributed: bool = False  # join a multi-host cluster (jax.distributed)
+    # val-L2 decoder: 'argmax' (reference parity) or 'refined' (sub-pixel)
+    eval_decode: str = "argmax"
 
     raw: dict[str, Any] = field(default_factory=dict, repr=False, compare=False)
 

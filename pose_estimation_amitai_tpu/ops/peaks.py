@@ -164,14 +164,26 @@ def pointwise_loss(y_true: jax.Array, y_pred: jax.Array) -> jax.Array:
     return jnp.mean(jnp.square(true_peaks - pred_peaks))
 
 
-def l2_distances(pred_confmaps: jax.Array, true_confmaps: jax.Array) -> jax.Array:
-    """Per-keypoint pixel L2 between argmax peaks of predicted vs true maps.
+def l2_distances(
+    pred_confmaps: jax.Array,
+    true_confmaps: jax.Array,
+    decode: str = "argmax",
+) -> jax.Array:
+    """Per-keypoint pixel L2 between decoded peaks of predicted vs true maps.
 
     The validation metric of the reference (pytorch/train_pytorch.py:199-213,
-    tensorflow/CallBacks.py:49-69), fully on device.
+    tensorflow/CallBacks.py:49-69), fully on device. ``decode='argmax'`` is
+    the reference-parity metric; ``'refined'`` decodes both map stacks with
+    the sub-pixel log-parabola fit (:func:`find_peaks_refined`) so the
+    metric is not floored by pixel quantisation.
 
     Returns (N, C) distances in pixels.
     """
-    pred = find_peaks(pred_confmaps)
-    true = find_peaks(true_confmaps)
-    return jnp.linalg.norm(pred - true, axis=-1)
+    if decode == "refined":
+        def dec(maps):
+            return jnp.transpose(
+                find_peaks_refined(maps)[:, :2, :], (0, 2, 1)
+            )
+    else:
+        dec = find_peaks
+    return jnp.linalg.norm(dec(pred_confmaps) - dec(true_confmaps), axis=-1)

@@ -237,7 +237,8 @@ def make_eval_step(model, cfg: Config):
         pred = model.apply(variables, *_model_args(batch), train=False)
         mse = loss_fn(pred, batch["confmaps"])
         l2 = peaks.l2_distances(
-            pred.astype(jnp.float32), batch["confmaps"].astype(jnp.float32)
+            pred.astype(jnp.float32), batch["confmaps"].astype(jnp.float32),
+            decode=cfg.eval_decode,
         )
         return mse, l2
 
