@@ -92,6 +92,7 @@ _ALIASES: dict[str, tuple[str, ...]] = {
     "device_dataset_budget_mb": ("device_dataset_budget_mb",),
     "distributed": ("distributed",),
     "eval_decode": ("eval_decode",),
+    "viz_every": ("viz_every",),
 }
 
 
@@ -176,6 +177,9 @@ class Config:
     distributed: bool = False  # join a multi-host cluster (jax.distributed)
     # val-L2 decoder: 'argmax' (reference parity) or 'refined' (sub-pixel)
     eval_decode: str = "argmax"
+    # heavy PNG artifacts (histograms, overlays, curves) every N epochs;
+    # 1 = reference parity (every epoch). CSV/MAT metrics are always written.
+    viz_every: int = 1
 
     raw: dict[str, Any] = field(default_factory=dict, repr=False, compare=False)
 

@@ -344,6 +344,11 @@ class Trainer:
             )
         except Exception:
             pass
+        # heavy matplotlib artifacts every viz_every epochs (always on the
+        # final epoch); the CSV/MAT metrics above are written every epoch
+        every = max(1, int(self.cfg.viz_every))
+        if (epoch + 1) % every and (epoch + 1) != self.cfg.epochs:
+            return
         viz.plot_history(
             train_losses, val_losses, os.path.join(rp, "loss_graph.png"),
             start_epoch=min(4, max(len(train_losses) - 1, 0)),
