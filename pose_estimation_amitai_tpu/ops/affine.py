@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -245,6 +247,14 @@ def affine_warp_batch(
     )
 
 
+def _shear_limit(rotation_range: float) -> float:
+    """Static bound on the separable warp's shear coefficients for a given
+    rotation range (degrees): |tan| of the rot90-normalised angle. Sizes the
+    widened intermediate canvases, so small-rotation configs stay cheap."""
+    deg = min(abs(float(rotation_range)), 45.0)
+    return min(1.0, float(np.tan(np.deg2rad(deg))) * 1.01 + 0.01)
+
+
 def _kernel_weights(d: jax.Array, order: int) -> jax.Array:
     """Interpolation kernel evaluated at continuous offsets ``d``.
 
@@ -262,7 +272,12 @@ def _kernel_weights(d: jax.Array, order: int) -> jax.Array:
 
 
 def _row_fractional_shift(
-    images: jax.Array, offsets: jax.Array, order: int
+    images: jax.Array,
+    offsets: jax.Array,
+    order: int,
+    out_width: int | None = None,
+    out_origin: int = 0,
+    max_offset: int | None = None,
 ) -> jax.Array:
     """Per-row fractional x-shift: ``out[b, y, x] = img[b, y, x + o[b, y]]``.
 
@@ -281,57 +296,72 @@ def _row_fractional_shift(
     Both stages are elementwise-bandwidth bound (13 ms in bf16 at
     B=256/192px) and bit-exact vs direct indexing in f32. Computation runs
     in the input dtype; reads outside the image are 0.
-    ``offsets`` must satisfy ``|o| <= W/2 + 1`` (guaranteed by the |shear
-    coefficient| <= 1 normalisation in :func:`affine_warp_separable_batch`).
+
+    Generalised contract (used by the separable warp's widened
+    intermediates): ``out[b, y, j] = img[b, y, j + out_origin + o[b, y]]``
+    for ``j in [0, out_width)``; ``max_offset`` is the static bound on
+    ``|o|`` (defaults to W/2 + 1), which sizes the coarse-digit coverage —
+    offsets beyond it are clamped to the zero border.
     """
     b, h, w, c = images.shape
+    w_out = w if out_width is None else out_width
     dt = images.dtype
     radix = min(14, max(2, w // 8))
-    cmax = (w // 2) // radix + 1
+    omax = (w // 2 + 1) if max_offset is None else max(int(max_offset), 1)
+    cmax = omax // radix + 1
     lo, hi = (0, radix) if order <= 1 else (-1, radix + 2)
     ntap = hi - lo + 1
-    pad_amt = cmax * radix + radix + 4
+    pad_amt = (
+        abs(out_origin) + cmax * radix + radix + 4 + max(0, w_out - w)
+    )
 
     c_idx = jnp.floor(offsets / radix).astype(jnp.int32)
     c_idx = jnp.clip(c_idx, -cmax, cmax)
     rho = (offsets - c_idx.astype(jnp.float32) * radix).astype(jnp.float32)
 
     padded = jnp.pad(images, ((0, 0), (0, 0), (pad_amt, pad_amt), (0, 0)))
-    # stage A: a[x'] = img[x' + radix*c] for x' in [lo, w-1+hi]
+    # stage A: a[j] = img[j + out_origin + radix*c] for j in [lo, w_out-1+hi]
     planes = jnp.stack(
         [
             jax.lax.slice_in_dim(
-                padded, pad_amt + radix * cc + lo,
-                pad_amt + radix * cc + lo + w + ntap - 1, axis=2,
+                padded, pad_amt + out_origin + radix * cc + lo,
+                pad_amt + out_origin + radix * cc + lo + w_out + ntap - 1,
+                axis=2,
             )
             for cc in range(-cmax, cmax + 1)
         ],
         axis=3,
-    )  # (B, H, w+ntap-1, NC, C)
+    )  # (B, H, w_out+ntap-1, NC, C)
     onehot = (
         c_idx[..., None] == jnp.arange(-cmax, cmax + 1)[None, None, :]
     ).astype(dt)
     a = jnp.einsum("bhwnc,bhn->bhwc", planes, onehot)
 
-    # stage B: out[x] = sum_j kernel(rho - j) * a[x + j], j in [lo, hi]
+    # stage B: out[j] = sum_t kernel(rho - t) * a[j + t], t in [lo, hi]
     j = jnp.arange(lo, hi + 1, dtype=jnp.float32)
     wts = _kernel_weights(rho[..., None] - j[None, None, :], order).astype(dt)
     taps = jnp.stack(
-        [jax.lax.slice_in_dim(a, t, t + w, axis=2) for t in range(ntap)],
+        [jax.lax.slice_in_dim(a, t, t + w_out, axis=2) for t in range(ntap)],
         axis=3,
     )
     return jnp.einsum("bhwnc,bhn->bhwc", taps, wts)
 
 
 def _row_resample(
-    images: jax.Array, stride: jax.Array, offset: jax.Array, order: int
+    images: jax.Array,
+    stride: jax.Array,
+    offset: jax.Array,
+    order: int,
+    out_width: int | None = None,
 ) -> jax.Array:
     """Per-frame uniform 1-D resample along x: ``out[.., xo] = img[.., u]``,
     ``u = stride[b]*xo + offset[b]`` — a batched (W_in x W_out) matmul on
     the MXU (dense kernel matrix; out-of-range taps get weight 0, giving the
-    zero border for free)."""
+    zero border for free). ``u`` is in input-INDEX space; callers fold any
+    canvas-origin shifts into ``offset``."""
     b, h, w, c = images.shape
-    xo = jnp.arange(w, dtype=jnp.float32)
+    w_out = w if out_width is None else out_width
+    xo = jnp.arange(w_out, dtype=jnp.float32)
     u = stride[:, None] * xo[None, :] + offset[:, None]  # (B, W_out)
     xi = jnp.arange(w, dtype=jnp.float32)
     kmat = _kernel_weights(xi[None, :, None] - u[:, None, :], order)
@@ -345,7 +375,10 @@ def _row_resample(
 
 
 def affine_warp_separable_batch(
-    images: jax.Array, forward_matrices: jax.Array, order: int = 1
+    images: jax.Array,
+    forward_matrices: jax.Array,
+    order: int = 1,
+    shear_limit: float = 1.0,
 ) -> jax.Array:
     """Separable affine warp: shear row-gathers + per-frame resample matmuls.
 
@@ -406,15 +439,37 @@ def affine_warp_separable_batch(
     # is a delta at integer offsets).
     o = max(int(order), 3)
     cy = (h - 1) / 2.0
+    # Shear coefficients are pure rotation terms for this augmentation
+    # family (isotropic zoom cancels in a01/a11 and a10/a11; flips only flip
+    # signs), and the rot90 selection bounds them by tan(45 deg) = 1.
+    # ``shear_limit`` is the caller's static bound (tan of the rotation
+    # range) — it sizes both the widened intermediate canvases and the
+    # radix coverage, so small-rotation configs stay cheap.
+    lim = float(min(max(shear_limit, 1e-3), 1.0))
+    e = int(np.ceil(lim * cy)) + 2  # canvas extension / max shear offset
     ys = jnp.arange(h, dtype=jnp.float32) - cy
-    # pass X: u = p*xo + q*y + r == shift by q*(y-cy), then stride-p resample
-    x = _row_fractional_shift(x, q[:, None] * ys[None, :], o)
-    x = _row_resample(x, p, r + q * cy, o)
-    # pass Y: v = a11*yo + a10*xo + t1, same machinery along columns
+    # pass X: u = p*xo + q*y + r. Shear FIRST onto a widened canvas
+    # (x' in [-e, w+e)) — truncating to [0, w) here would cut content the
+    # stride-p resample legitimately reads back (|p| > 1 under zoom/flips)
+    # — then resample consumes the wide canvas (index = coord + e).
+    x = _row_fractional_shift(
+        x, q[:, None] * ys[None, :], o,
+        out_width=w + 2 * e, out_origin=-e, max_offset=e,
+    )
+    x = _row_resample(x, p, (r + q * cy) + e, o, out_width=w)
+    # pass Y: v = a11*yo + a10*xo + t1, along columns. Resample FIRST onto a
+    # widened canvas (y' in [-e, h+e), index j <-> coord j - e), THEN shear
+    # by g = a10/a11 (bounded like q; raw a10 is NOT bounded under zoom).
     x = jnp.swapaxes(x, 1, 2)
+    g = a10 / safe_a11
+    x = _row_resample(
+        x, a11, (t1 + a10 * cy) - a11 * e, o, out_width=h + 2 * e
+    )
     xs = jnp.arange(w, dtype=jnp.float32) - cy
-    x = _row_fractional_shift(x, a10[:, None] * xs[None, :], o)
-    x = _row_resample(x, a11, t1 + a10 * cy, o)
+    x = _row_fractional_shift(
+        x, g[:, None] * xs[None, :], o,
+        out_width=h, out_origin=e, max_offset=e,
+    )
     x = jnp.swapaxes(x, 1, 2)
     return x.astype(images.dtype)
 
@@ -471,9 +526,13 @@ def augment_images_and_peaks(
         do_vertical_flip=do_vertical_flip,
     )
     mats = make_affine_matrix(params, h, w)
-    warp = (affine_warp_separable_batch if method == "separable"
-            else affine_warp_batch)
-    warped = warp(images, mats, order)
+    if method == "separable":
+        warped = affine_warp_separable_batch(
+            images, mats, order,
+            shear_limit=_shear_limit(rotation_range),
+        )
+    else:
+        warped = affine_warp_batch(images, mats, order)
     new_peaks = transform_points(peaks_xy.astype(jnp.float32), mats)
     maps = confmaps_from_peaks(new_peaks, (h, w), sigma)
     maps = maps * peak_vals[:, None, None, :]
@@ -511,7 +570,11 @@ def augment_pair(
     )
     mats = make_affine_matrix(params, h, w)
     stacked = jnp.concatenate([images, confmaps.astype(images.dtype)], axis=-1)
-    warp = (affine_warp_separable_batch if method == "separable"
-            else affine_warp_batch)
-    warped = warp(stacked, mats, order)
+    if method == "separable":
+        warped = affine_warp_separable_batch(
+            stacked, mats, order,
+            shear_limit=_shear_limit(rotation_range),
+        )
+    else:
+        warped = affine_warp_batch(stacked, mats, order)
     return warped[..., :ci], warped[..., ci:].astype(confmaps.dtype)

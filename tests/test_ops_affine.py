@@ -271,3 +271,23 @@ def test_separable_matches_exact_warp_cubic(rng):
     )
     assert np.max(np.abs(exact - sep)) < 0.06, np.max(np.abs(exact - sep))
     assert np.mean(np.abs(exact - sep)) < 2e-3
+
+
+def test_separable_matches_exact_at_production_size(rng):
+    """192px exercises the production radix (offsets beyond one coarse
+    digit), which smaller test images do not reach."""
+    from pose_estimation_amitai_tpu.ops.gaussian import confmaps_from_peaks
+
+    pk = jnp.asarray(rng.uniform(30, 160, (2, 8, 2)).astype(np.float32))
+    img = np.asarray(confmaps_from_peaks(pk, (192, 192), 5.0))
+    params = _params(
+        b=2, angle_deg=[37.0, -142.0], scale=[0.9, 1.1],
+        shift_x=[6.0, -8.0], shift_y=[-5.0, 7.0], flip_h=[True, False],
+    )
+    mats = affine.make_affine_matrix(params, 192, 192)
+    exact = np.asarray(affine.affine_warp_batch(jnp.asarray(img), mats, 3))
+    sep = np.asarray(
+        affine.affine_warp_separable_batch(jnp.asarray(img), mats, 3)
+    )
+    assert np.max(np.abs(exact - sep)) < 0.05, np.max(np.abs(exact - sep))
+    assert np.mean(np.abs(exact - sep)) < 1e-3
