@@ -50,7 +50,15 @@ def maybe_initialize_distributed(cfg=None) -> bool:
         return True
     try:
         jax.distributed.initialize()
-    except Exception as e:  # single-process fallback keeps local runs alive
+    except Exception as e:
+        if bool(getattr(cfg, "distributed", False)):
+            # Explicitly requested: a silent single-host fallback would let
+            # every pod process train independently — fail loudly instead.
+            raise RuntimeError(
+                "Config.distributed was set but "
+                f"jax.distributed.initialize() failed: {e}"
+            ) from e
+        # env-var-driven opportunistic init: fallback keeps local runs alive
         print(f"jax.distributed.initialize() skipped: {e}", flush=True)
         return False
     return jax.process_count() > 1

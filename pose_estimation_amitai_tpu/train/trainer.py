@@ -63,6 +63,14 @@ class Trainer:
             # (pytorch/train_pytorch.py:117)
             jax.config.update("jax_debug_nans", True)
 
+        # Multi-host: join the pod-level JAX cluster BEFORE any jax array is
+        # created — jax.distributed.initialize() must run before the backend
+        # initialises, and build_dataset places device arrays. After it,
+        # jax.devices() spans every host (no-op unless configured).
+        from ..parallel.mesh import maybe_initialize_distributed
+
+        maybe_initialize_distributed(cfg)
+
         self.dataset, self.preprocessor = build_dataset(cfg, arrays)
         self.run_name = f"{cfg.model_type}_{date.today().strftime('%b %d')}"
         self.run_path = self._create_run_folders()
@@ -76,11 +84,6 @@ class Trainer:
         self.state = create_train_state(self.model, cfg, sample_batch, cfg.seed)
         self._maybe_load_pretrained()
 
-        # Multi-host: join the pod-level JAX cluster first so jax.devices()
-        # spans every host (no-op unless configured — parallel/mesh.py).
-        from ..parallel.mesh import maybe_initialize_distributed
-
-        maybe_initialize_distributed(cfg)
         # Multi-chip data parallelism (SURVEY §2.4): with >1 device (or an
         # explicit mesh_shape) batches shard over the mesh's data axis and
         # XLA all-reduces gradients over ICI; single-chip keeps the
