@@ -49,6 +49,7 @@ class Predictor:
         calibration_frames=None,
         decode: str = "argmax",
         mesh=None,
+        batch_stats=None,
     ):
         """``decode``: 'argmax' (tf_find_peaks parity), 'soft' — the
         differentiable soft-argmax decoder (pytorch/utils.py:47-83) — or
@@ -62,6 +63,11 @@ class Predictor:
         self.cfg = cfg
         self.model = build_model(cfg, image_shape, num_output_channels)
         self.params = params
+        # BatchNorm running stats ride next to params (ResNet /
+        # disentangled families); {} for stat-free models.
+        self.variables = {"params": params}
+        if batch_stats:
+            self.variables["batch_stats"] = batch_stats
         self.chunk_size = chunk_size
         self.return_heatmaps = return_heatmaps
         self.mesh = mesh
@@ -73,9 +79,10 @@ class Predictor:
             assert chunk_size % mesh.devices.size == 0
             self._batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
             repl = NamedSharding(mesh, P())
-            self.params = jax.tree_util.tree_map(
-                lambda v: jax.device_put(v, repl), params
+            self.variables = jax.tree_util.tree_map(
+                lambda v: jax.device_put(v, repl), self.variables
             )
+            self.params = self.variables["params"]
 
         from .models.cnn import BasicNet
         is_basic = (
@@ -90,9 +97,10 @@ class Predictor:
             assert calibration_frames is not None, (
                 "use_quantized needs calibration_frames"
             )
-            f32_params = jax.tree_util.tree_map(
-                lambda v: jnp.asarray(v, jnp.float32), params
+            f32_variables = jax.tree_util.tree_map(
+                lambda v: jnp.asarray(v, jnp.float32), self.variables
             )
+            f32_params = f32_variables["params"]
             if is_basic:
                 # hand-scheduled int8 BasicNet with int8-resident
                 # activations (fastest flagship path: HBM-bound workload,
@@ -114,23 +122,25 @@ class Predictor:
                 from .models.quantized_generic import quantize_predict_fn
 
                 quantized_fwd = quantize_predict_fn(
-                    self.model, f32_params,
+                    self.model, f32_variables,
                     np.asarray(calibration_frames),
                     out_dtype=jnp.bfloat16,
                 )
 
-        def forward(params, frames):
+        def forward(variables, frames):
             if quantized_fwd is not None:
                 return quantized_fwd(frames)
             if fused_ok:
                 from .models.fast_infer import basicnet_apply_fused
 
-                return basicnet_apply_fused(self.model, params, frames)
-            return self.model.apply({"params": params}, frames, train=False)
+                return basicnet_apply_fused(
+                    self.model, variables["params"], frames
+                )
+            return self.model.apply(variables, frames, train=False)
 
         @jax.jit
-        def _run(params, frames):
-            maps = forward(params, frames)
+        def _run(variables, frames):
+            maps = forward(variables, frames)
             if decode == "soft":
                 xy = peaks.find_peaks_soft_argmax(maps)  # (B, K, 2)
                 vals = jnp.max(maps.reshape(maps.shape[0], -1,
@@ -165,7 +175,12 @@ class Predictor:
         num_output_channels: int = 18,
         **kw,
     ) -> "Predictor":
-        """Build from a saved params/checkpoint msgpack file."""
+        """Build from a saved params/checkpoint msgpack file.
+
+        Full checkpoint payloads carry BatchNorm running stats
+        (``batch_stats``) which the BN model families (ResNet /
+        disentangled) need at eval time — they are restored and threaded
+        through automatically."""
         if isinstance(cfg, str):
             cfg = Config.from_json(cfg)
         model = build_model(cfg, image_shape, num_output_channels)
@@ -174,7 +189,8 @@ class Predictor:
             jnp.zeros((1, *image_shape), jnp.float32),
             train=False,
         )["params"]
-        params = ckpt.load_params(checkpoint_path, template)
+        params, batch_stats = ckpt.load_variables(checkpoint_path, template)
+        kw.setdefault("batch_stats", batch_stats)
         return cls(cfg, params, image_shape, num_output_channels, **kw)
 
     # ------------------------------------------------------------------
@@ -194,7 +210,7 @@ class Predictor:
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad, *chunk.shape[1:]), chunk.dtype)]
                 )
-            res = self._run(self.params, self._stage(chunk))
+            res = self._run(self.variables, self._stage(chunk))
             if self.return_heatmaps:
                 m, p = res
                 maps.append(np.asarray(m)[: cs - pad])
@@ -226,7 +242,7 @@ class Predictor:
         in_flight: list = []
         for i in range(n_full):
             chunk = self._stage(frames[i * cs : (i + 1) * cs])
-            in_flight.append(self._run(self.params, chunk))  # async dispatch
+            in_flight.append(self._run(self.variables, chunk))  # async dispatch
             if len(in_flight) >= prefetch:
                 out.append(np.asarray(in_flight.pop(0)))
         out.extend(np.asarray(r) for r in in_flight)

@@ -557,6 +557,13 @@ def augment_pair(
     (tensorflow/simple_data_generator.py:72-95): one transform is drawn per
     sample and applied to both the input stack and the target confmaps, fused
     into one warp over the channel-concatenated tensor.
+
+    Note: the default ``method='separable'`` promotes the interpolation
+    kernel to Catmull-Rom (order >= 3, see
+    :func:`affine_warp_separable_batch`), whose negative lobes can ring
+    below zero; warped confmap targets are clamped to >= 0 so the Gaussian
+    targets never go negative (the exact order-1 warp never produced
+    negatives).
     """
     b, h, w, ci = images.shape
     params = sample_augment_params(
@@ -577,4 +584,7 @@ def augment_pair(
         )
     else:
         warped = affine_warp_batch(stacked, mats, order)
-    return warped[..., :ci], warped[..., ci:].astype(confmaps.dtype)
+    warped_maps = warped[..., ci:]
+    if method == "separable" or order >= 2:
+        warped_maps = jnp.maximum(warped_maps, 0.0)
+    return warped[..., :ci], warped_maps.astype(confmaps.dtype)

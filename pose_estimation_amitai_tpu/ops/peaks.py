@@ -89,9 +89,12 @@ def find_peaks_refined(confmaps: jax.Array, eps: float = 1e-8) -> jax.Array:
             flat, (r * w + cc)[:, None, :], axis=1
         )[:, 0, :]
 
-    def axis_offset(f_minus, f_plus):
+    def axis_offset(f_minus, f_plus, interior):
         # log-parabola vertex; valid only where all three samples positive
-        ok = (f_minus > eps) & (f_plus > eps) & (vals > eps)
+        # AND the peak is interior: at a border the clipped neighbour
+        # aliases the peak (lm == l0), which would bias the offset to
+        # exactly -+0.5 — fall back to the integer argmax there
+        ok = interior & (f_minus > eps) & (f_plus > eps) & (vals > eps)
         lm = jnp.log(jnp.maximum(f_minus, eps))
         lp = jnp.log(jnp.maximum(f_plus, eps))
         l0 = jnp.log(jnp.maximum(vals, eps))
@@ -100,10 +103,12 @@ def find_peaks_refined(confmaps: jax.Array, eps: float = 1e-8) -> jax.Array:
         off = jnp.where(jnp.abs(denom) > eps, 0.5 * (lp - lm) / safe, 0.0)
         return jnp.where(ok, jnp.clip(off, -0.5, 0.5), 0.0)
 
-    dx = axis_offset(neighbor(0, -1), neighbor(0, 1))
-    dy = axis_offset(neighbor(-1, 0), neighbor(1, 0))
-    # at the image border the clipped neighbour aliases the peak itself ->
-    # denom 0 -> offset 0, which is the right fallback
+    dx = axis_offset(
+        neighbor(0, -1), neighbor(0, 1), (cols > 0) & (cols < w - 1)
+    )
+    dy = axis_offset(
+        neighbor(-1, 0), neighbor(1, 0), (rows > 0) & (rows < h - 1)
+    )
     return jnp.stack(
         [cols.astype(jnp.float32) + dx, rows.astype(jnp.float32) + dy, vals],
         axis=1,

@@ -57,6 +57,11 @@ def make_sharded_train_step(model, cfg: Config, mesh: Mesh):
     tx = create_optimizer(cfg)
     loss_fn = make_loss_fn(cfg)
     order = min(int(cfg.interpolation_order), 3)
+    # same input-precision policy as the single-device step (train/loop.py):
+    # bf16 warp when computing in bf16, full f32 otherwise
+    warp_dtype = (
+        jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    )
     repl = NamedSharding(mesh, P())
     bsharded = NamedSharding(mesh, P(None, DATA_AXIS))
 
@@ -70,7 +75,7 @@ def make_sharded_train_step(model, cfg: Config, mesh: Mesh):
         if cfg.do_augmentations and "peaks" in mb:
             key, akey = jax.random.split(key)
             box, confmaps = affine.augment_images_and_peaks(
-                akey, box, mb["peaks"], mb["peak_vals"],
+                akey, box.astype(warp_dtype), mb["peaks"], mb["peak_vals"],
                 sigma=cfg.sigma,
                 rotation_range=cfg.rotation_range,
                 xy_shifts=cfg.xy_shifts,

@@ -92,6 +92,32 @@ def load_params(path: str, template=None):
     return restored
 
 
+def load_variables(path: str, params_template=None):
+    """Load ``(params, batch_stats)`` from a snapshot or full payload.
+
+    BatchNorm models (ResNet / disentangled) carry running stats next to
+    their params; weights-only snapshots return ``batch_stats = {}``.
+    """
+    if os.path.isdir(path):
+        for name in (BEST_NAME, CHECKPOINT_NAME):
+            cand = os.path.join(path, name)
+            if os.path.exists(cand):
+                path = cand
+                break
+    with open(path, "rb") as f:
+        restored = serialization.msgpack_restore(f.read())
+    batch_stats = {}
+    if isinstance(restored, dict) and {"params", "opt_state"} <= set(restored):
+        batch_stats = restored.get("batch_stats", {}) or {}
+        restored = restored["params"]
+    restored = jax.tree_util.tree_map(jnp.asarray, restored)
+    if batch_stats:
+        batch_stats = jax.tree_util.tree_map(jnp.asarray, batch_stats)
+    if params_template is not None:
+        restored = serialization.from_state_dict(params_template, restored)
+    return restored, batch_stats
+
+
 def restore_checkpoint(
     path: str, template: TrainState
 ) -> tuple[TrainState, dict[str, Any]]:

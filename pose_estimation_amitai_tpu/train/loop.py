@@ -104,6 +104,12 @@ def make_train_step(model, cfg: Config):
     tx = create_optimizer(cfg)
     loss_fn = make_loss_fn(cfg)
     order = min(int(cfg.interpolation_order), 3)
+    # warp in the compute dtype: bf16 halves the separable warp's bandwidth
+    # and the model computes in bf16 anyway (pixel error ~ uint8 quantum);
+    # f32-configured runs keep full input precision (matches the sharded path)
+    warp_dtype = (
+        jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    )
 
     def microbatch(params, batch_stats, key, data, ids):
         box = jnp.take(data["box"], ids, axis=0)
@@ -112,10 +118,8 @@ def make_train_step(model, cfg: Config):
             # at the transformed peaks (ensure_sigma semantics — and ~5x
             # less gather work than warping every target channel)
             key, akey = jax.random.split(key)
-            # warp in bf16: halves the separable warp's bandwidth, and the
-            # model computes in bf16 anyway (pixel error ~ uint8 quantum)
             box, confmaps = affine.augment_images_and_peaks(
-                akey, box.astype(jnp.bfloat16),
+                akey, box.astype(warp_dtype),
                 jnp.take(data["peaks"], ids, axis=0),
                 jnp.take(data["peak_vals"], ids, axis=0),
                 sigma=cfg.sigma,

@@ -175,3 +175,59 @@ def test_lift_to_3d_refined_decode_removes_quantisation_floor():
     lifted = lift_to_3d(ref, arrs["cropZone"], arrs["cameras_dlt_array"])
     err = np.linalg.norm(lifted - arrs["points_3D"], axis=-1)
     assert np.median(err) < 1e-6, np.median(err)
+
+
+def test_bn_model_predictor_with_batch_stats(tmp_path):
+    """ResNet (BatchNorm) family through the Predictor: batch_stats must be
+    threaded into apply for both the float and generic-int8 paths (round-1
+    advisor finding: bare params crashed on missing batch_stats)."""
+    cfg = Config(model_type="RESNET_18_POINTS_PER_WING", num_base_filters=8)
+    model = build_model(cfg, (HW, HW, IN_CH), OUT_CH)
+    variables = model.init(
+        {"params": jax.random.key(0)},
+        jnp.zeros((1, HW, HW, IN_CH)), train=False,
+    )
+    params, stats = variables["params"], variables["batch_stats"]
+    frames = np.random.default_rng(3).random((5, HW, HW, IN_CH)).astype(
+        np.float32)
+
+    p = Predictor(cfg, params, (HW, HW, IN_CH), OUT_CH, chunk_size=4,
+                  batch_stats=stats)
+    pts = p(frames)
+    assert pts.shape == (5, 3, OUT_CH)
+    assert np.isfinite(pts).all()
+
+    q = Predictor(cfg, params, (HW, HW, IN_CH), OUT_CH, chunk_size=4,
+                  batch_stats=stats, use_quantized=True,
+                  calibration_frames=frames[:2])
+    qpts = q(frames)
+    assert qpts.shape == (5, 3, OUT_CH)
+    assert np.isfinite(qpts).all()
+
+
+def test_from_checkpoint_restores_batch_stats(tmp_path):
+    """A full checkpoint payload round-trips BN running stats into the
+    Predictor (train/checkpoint.py load_variables)."""
+    import jax.numpy as jnp
+    from pose_estimation_amitai_tpu.train import checkpoint as ckpt
+    from pose_estimation_amitai_tpu.train.loop import create_train_state
+
+    cfg = Config(model_type="RESNET_18_POINTS_PER_WING", num_base_filters=8)
+    model = build_model(cfg, (HW, HW, IN_CH), OUT_CH)
+    sample = {
+        "image": jnp.zeros((2, HW, HW, IN_CH)),
+        "confmaps": jnp.zeros((2, HW, HW, OUT_CH)),
+    }
+    state = create_train_state(model, cfg, sample, seed=0)
+    # make the running stats distinguishable from a fresh init
+    state = state.replace(batch_stats=jax.tree_util.tree_map(
+        lambda v: v + 1.0, state.batch_stats))
+    ckpt.save_checkpoint(str(tmp_path), state, epoch=0, val_loss=1.0)
+
+    p = Predictor.from_checkpoint(
+        cfg, str(tmp_path), image_shape=(HW, HW, IN_CH),
+        num_output_channels=OUT_CH, chunk_size=4)
+    assert "batch_stats" in p.variables
+    leaf = jax.tree_util.tree_leaves(p.variables["batch_stats"])[0]
+    restored = jax.tree_util.tree_leaves(state.batch_stats)[0]
+    np.testing.assert_allclose(np.asarray(leaf), np.asarray(restored))

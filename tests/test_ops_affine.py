@@ -111,9 +111,11 @@ def test_augment_pair_same_transform_for_image_and_confmap(rng):
         rotation_range=30.0, xy_shifts=5.0, zoom_range=(0.8, 1.2),
     )
     # confmaps are the first 3 channels of the images: identical transforms
-    # must keep them equal post-warp.
+    # must keep them equal post-warp (confmap channels are clamped >= 0
+    # against Catmull-Rom ringing, so compare against the clamped image).
     np.testing.assert_allclose(
-        np.asarray(a_img)[..., :3], np.asarray(a_cm), atol=1e-5
+        np.maximum(np.asarray(a_img)[..., :3], 0.0), np.asarray(a_cm),
+        atol=1e-5,
     )
 
 
@@ -291,3 +293,20 @@ def test_separable_matches_exact_at_production_size(rng):
     )
     assert np.max(np.abs(exact - sep)) < 0.05, np.max(np.abs(exact - sep))
     assert np.mean(np.abs(exact - sep)) < 1e-3
+
+
+def test_augment_pair_confmaps_nonnegative():
+    """Catmull-Rom ringing must not leave negative values in warped targets
+    (round-1 advisor finding: separable order promotion -> negative lobes)."""
+    key = jax.random.key(7)
+    rng = np.random.default_rng(7)
+    from pose_estimation_amitai_tpu.ops.gaussian import confmaps_from_peaks
+
+    b, h, w = 4, 48, 48
+    images = jnp.asarray(rng.random((b, h, w, 2)), jnp.float32)
+    pts = jnp.asarray(rng.uniform(8, 40, (b, 5, 2)), jnp.float32)
+    confmaps = confmaps_from_peaks(pts, (h, w), sigma=3.0)
+    _, warped_maps = affine.augment_pair(
+        key, images, confmaps, rotation_range=30.0, xy_shifts=5.0,
+    )
+    assert float(jnp.min(warped_maps)) >= 0.0

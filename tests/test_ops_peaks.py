@@ -100,3 +100,26 @@ def test_refined_decode_zero_channel_and_border(rng):
     assert out[0, 0, 0] == 15.0 and out[0, 1, 0] == 0.0  # x, y unmoved
     assert out[0, 2, 1] == 0.0  # empty channel val
     assert np.isfinite(out).all()
+
+
+def test_refined_decode_no_border_bias():
+    """A Gaussian peaked at the image border must decode to the integer
+    argmax, not be dragged +-0.5 px out of the image by the clipped-neighbour
+    alias (round-1 advisor finding)."""
+    from pose_estimation_amitai_tpu.ops.gaussian import confmaps_from_peaks
+
+    h = w = 32
+    pts = jnp.asarray(
+        [[[0.0, 10.0], [w - 1.0, 12.0], [14.0, 0.0], [15.0, h - 1.0]]]
+    )  # (1, 4, 2): left, right, top, bottom borders
+    maps = confmaps_from_peaks(pts, (h, w), sigma=2.0)
+    out = np.asarray(peaks.find_peaks_refined(maps))  # (1, 3, 4)
+    xs, ys = out[0, 0], out[0, 1]
+    assert xs[0] == 0.0 and xs[1] == w - 1.0
+    assert ys[2] == 0.0 and ys[3] == h - 1.0
+    # interior axes still refine exactly (values inside the image)
+    assert 0.0 <= xs.min() and xs.max() <= w - 1.0
+    assert 0.0 <= ys.min() and ys.max() <= h - 1.0
+    # off-axis coordinates of border peaks keep sub-pixel exactness
+    np.testing.assert_allclose(ys[0], 10.0, atol=1e-3)
+    np.testing.assert_allclose(ys[1], 12.0, atol=1e-3)
