@@ -25,7 +25,7 @@ from .vit import ViT4Cameras, ViTPoseNet
 __all__ = [
     "BasicNet", "CoarsePerWing", "C2FPerWing", "TwoWingsNet", "MultiCamNet",
     "FourCamDisentangled", "ResNetHeatmapNet", "ViTPoseNet", "ViT4Cameras",
-    "build_model", "needs_camera_matrices",
+    "build_model", "needs_camera_matrices", "augmentation_views",
 ]
 
 _VIT_SINGLE = {
@@ -46,6 +46,24 @@ _DISENTANGLED = {
 def needs_camera_matrices(model_type: str) -> bool:
     """True for models whose forward takes (x, P, P_inv) batch inputs."""
     return model_type in _DISENTANGLED
+
+
+def augmentation_views(model_type: str) -> int:
+    """Camera-view count for INDEPENDENT per-view augmentation.
+
+    The reference draws one random affine PER CAMERA VIEW for
+    ``ALL_CAMS_18_POINTS`` samples (pytorch/Datagenerators.py:141-153) —
+    views are channel blocks, each warped on its own. The same layout holds
+    for the ViT twin and the disentangled camera-matrix models (whose
+    per-view warps are folded into P/P_inv,
+    ops/geometry.compose_affine_into_cameras). Everything else augments
+    with one shared transform per sample (the reference default path).
+    """
+    if model_type in {C.ALL_CAMS_18_POINTS, C.ALL_CAMS_18_POINTS_VIT}:
+        return 4
+    if model_type in _DISENTANGLED:
+        return 4
+    return 1
 
 
 def build_model(

@@ -514,29 +514,94 @@ def augment_images_and_peaks(
     Returns:
       (warped images, rendered (B, H, W, K) confmaps).
     """
+    warped, maps, _ = augment_views_and_peaks(
+        key, images, peaks_xy, peak_vals, num_views=1, sigma=sigma,
+        rotation_range=rotation_range, xy_shifts=xy_shifts,
+        zoom_range=zoom_range, do_horizontal_flip=do_horizontal_flip,
+        do_vertical_flip=do_vertical_flip, order=order, method=method,
+    )
+    return warped, maps
+
+
+def augment_views_and_peaks(
+    key: jax.Array,
+    images: jax.Array,
+    peaks_xy: jax.Array,
+    peak_vals: jax.Array,
+    num_views: int = 1,
+    sigma: float = 3.0,
+    rotation_range: float = 30.0,
+    xy_shifts: float = 10.0,
+    zoom_range: tuple[float, float] = (1.0, 1.0),
+    do_horizontal_flip: bool = True,
+    do_vertical_flip: bool = True,
+    order: int = 1,
+    method: str = "separable",
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Independent per-camera-view augmentation with re-rendered targets.
+
+    The multicam models stack camera views as contiguous channel blocks
+    (view v owns channels [v*c, (v+1)*c) of the image and [v*k, (v+1)*k) of
+    the targets — data/preprocess.py reshape_for_all_cams_18_points). The
+    reference augments each view of an ``ALL_CAMS_18_POINTS`` sample with
+    its OWN random affine (pytorch/Datagenerators.py:141-153 ``augment_view``
+    per split); a single shared transform would shrink the augmentation
+    space 4-fold. Here views fold into the batch axis — one
+    ``(B*V)``-matrix batched warp, no per-view Python loop.
+
+    Args:
+      images: (B, H, W, V*c) view-blocked channels; peaks_xy: (B, V*k, 2)
+        view-blocked keypoints; peak_vals: (B, V*k); num_views: V.
+
+    Returns:
+      (warped images, rendered (B, H, W, V*k) confmaps, (B, V, 3, 3)
+      per-view forward matrices — camera-matrix models compose these into
+      P/P_inv via :func:`..geometry.compose_affine_into_cameras`).
+    """
     from .gaussian import confmaps_from_peaks
 
-    b, h, w, _ = images.shape
+    b, h, w, ctot = images.shape
+    v = int(num_views)
     params = sample_augment_params(
-        key, b,
+        key, b * v,
         rotation_range=rotation_range,
         xy_shifts=xy_shifts,
         zoom_range=zoom_range,
         do_horizontal_flip=do_horizontal_flip,
         do_vertical_flip=do_vertical_flip,
     )
-    mats = make_affine_matrix(params, h, w)
+    mats = make_affine_matrix(params, h, w)  # (B*V, 3, 3)
+
+    if v > 1:
+        c = ctot // v
+        assert c * v == ctot, (ctot, v)
+        # (B, H, W, V, c) -> (B, V, H, W, c) -> (B*V, H, W, c): views ride
+        # the batch axis, so the warp stays ONE batched kernel
+        imgs_v = jnp.transpose(
+            images.reshape(b, h, w, v, c), (0, 3, 1, 2, 4)
+        ).reshape(b * v, h, w, c)
+    else:
+        imgs_v = images
     if method == "separable":
         warped = affine_warp_separable_batch(
-            images, mats, order,
+            imgs_v, mats, order,
             shear_limit=_shear_limit(rotation_range),
         )
     else:
-        warped = affine_warp_batch(images, mats, order)
-    new_peaks = transform_points(peaks_xy.astype(jnp.float32), mats)
+        warped = affine_warp_batch(imgs_v, mats, order)
+    if v > 1:
+        c = ctot // v
+        warped = jnp.transpose(
+            warped.reshape(b, v, h, w, c), (0, 2, 3, 1, 4)
+        ).reshape(b, h, w, ctot)
+
+    ktot = peaks_xy.shape[1]
+    k = ktot // v
+    pk_v = peaks_xy.astype(jnp.float32).reshape(b * v, k, 2)
+    new_peaks = transform_points(pk_v, mats).reshape(b, ktot, 2)
     maps = confmaps_from_peaks(new_peaks, (h, w), sigma)
     maps = maps * peak_vals[:, None, None, :]
-    return warped, maps
+    return warped, maps, mats.reshape(b, v, 3, 3)
 
 
 def augment_pair(
@@ -550,6 +615,7 @@ def augment_pair(
     do_vertical_flip: bool = True,
     order: int = 1,
     method: str = "separable",
+    num_views: int = 1,
 ) -> tuple[jax.Array, jax.Array]:
     """Apply identical per-sample random affines to images and confmaps.
 
@@ -557,6 +623,12 @@ def augment_pair(
     (tensorflow/simple_data_generator.py:72-95): one transform is drawn per
     sample and applied to both the input stack and the target confmaps, fused
     into one warp over the channel-concatenated tensor.
+
+    ``num_views > 1`` draws an independent transform per camera-view channel
+    block (pytorch/Datagenerators.py:141-153 ``ALL_CAMS_18_POINTS``
+    semantics): view v owns image channels [v*ci/V, ...) and confmap
+    channels [v*cm/V, ...), each warped with its own matrix (views fold into
+    the batch axis — still one batched warp).
 
     Note: the default ``method='separable'`` promotes the interpolation
     kernel to Catmull-Rom (order >= 3, see
@@ -566,9 +638,11 @@ def augment_pair(
     negatives).
     """
     b, h, w, ci = images.shape
+    cm = confmaps.shape[-1]
+    v = int(num_views)
     params = sample_augment_params(
         key,
-        b,
+        b * v,
         rotation_range=rotation_range,
         xy_shifts=xy_shifts,
         zoom_range=zoom_range,
@@ -576,7 +650,29 @@ def augment_pair(
         do_vertical_flip=do_vertical_flip,
     )
     mats = make_affine_matrix(params, h, w)
-    stacked = jnp.concatenate([images, confmaps.astype(images.dtype)], axis=-1)
+
+    def to_views(x):
+        c = x.shape[-1] // v
+        return jnp.transpose(
+            x.reshape(b, h, w, v, c), (0, 3, 1, 2, 4)
+        ).reshape(b * v, h, w, c)
+
+    def from_views(x, ctot):
+        c = ctot // v
+        return jnp.transpose(
+            x.reshape(b, v, h, w, c), (0, 2, 3, 1, 4)
+        ).reshape(b, h, w, ctot)
+
+    if v > 1:
+        assert ci % v == 0 and cm % v == 0, (ci, cm, v)
+        stacked = jnp.concatenate(
+            [to_views(images), to_views(confmaps.astype(images.dtype))],
+            axis=-1,
+        )
+    else:
+        stacked = jnp.concatenate(
+            [images, confmaps.astype(images.dtype)], axis=-1
+        )
     if method == "separable":
         warped = affine_warp_separable_batch(
             stacked, mats, order,
@@ -584,7 +680,12 @@ def augment_pair(
         )
     else:
         warped = affine_warp_batch(stacked, mats, order)
-    warped_maps = warped[..., ci:]
+    if v > 1:
+        warped_imgs = from_views(warped[..., : ci // v], ci)
+        warped_maps = from_views(warped[..., ci // v :], cm)
+    else:
+        warped_imgs = warped[..., :ci]
+        warped_maps = warped[..., ci:]
     if method == "separable" or order >= 2:
         warped_maps = jnp.maximum(warped_maps, 0.0)
-    return warped[..., :ci], warped_maps.astype(confmaps.dtype)
+    return warped_imgs, warped_maps.astype(confmaps.dtype)

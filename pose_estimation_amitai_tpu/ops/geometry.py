@@ -265,6 +265,43 @@ def crop_adjusted_matrices(
     return jax.vmap(per_cam)(Ks, Rs, ts, cropzone.astype(jnp.float32))
 
 
+def compose_affine_into_cameras(
+    mats: jax.Array, P: jax.Array, P_inv: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Fold 2D image-space affines into camera matrices: P' = M @ P.
+
+    When a training view is warped by a forward affine M (pixel coords
+    x' = M x, last row (0, 0, 1) so homogeneous scale is preserved), the
+    camera that explains the warped pixels is ``M @ P`` — the FTL projection
+    of any 3D latent then lands on the warped pixels, keeping augmentation
+    geometry-consistent for the disentangled models (the reference's
+    ``CameraMatrixGenerator`` simply never augments,
+    pytorch/Datagenerators.py:242-270; composing lets us augment WITH
+    consistent geometry instead of not at all).
+
+    For full-row-rank P (3x4), ``pinv(M @ P) = pinv(P) @ inv(M)`` exactly,
+    so the pseudo-inverse updates without an SVD. Both outputs are
+    re-normalised to unit Frobenius norm per camera, matching the
+    convention of :func:`crop_adjusted_matrices`
+    (pytorch/Datagenerators.py:398-401).
+
+    Args:
+      mats: (..., 3, 3) forward affines; P: (..., 3, 4); P_inv: (..., 4, 3)
+        (leading axes broadcast, e.g. (B, V, ...)).
+
+    Returns:
+      (P', P_inv') with the same shapes.
+    """
+    mats = mats.astype(jnp.float32)
+    new_P = mats @ P.astype(jnp.float32)
+    new_P = new_P / jnp.linalg.norm(new_P, axis=(-2, -1), keepdims=True)
+    new_P_inv = P_inv.astype(jnp.float32) @ jnp.linalg.inv(mats)
+    new_P_inv = new_P_inv / jnp.linalg.norm(
+        new_P_inv, axis=(-2, -1), keepdims=True
+    )
+    return new_P.astype(P.dtype), new_P_inv.astype(P_inv.dtype)
+
+
 # ---------------------------------------------------------------------------
 # Feature Transform Layer math (disentanglement model)
 # ---------------------------------------------------------------------------

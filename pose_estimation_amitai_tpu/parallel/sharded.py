@@ -70,12 +70,20 @@ def make_sharded_train_step(model, cfg: Config, mesh: Mesh):
             return (mb["image"], mb["P"], mb["P_inv"])
         return (mb["image"],)
 
+    from ..models import augmentation_views
+
+    views = augmentation_views(cfg.model_type)
+
     def microbatch_loss(params, batch_stats, key, mb):
         box, confmaps = mb["image"], mb.get("confmaps")
+        view_mats = None
         if cfg.do_augmentations and "peaks" in mb:
+            # multicam models: independent transform per camera view
+            # (pytorch/Datagenerators.py:141-153)
             key, akey = jax.random.split(key)
-            box, confmaps = affine.augment_images_and_peaks(
+            box, confmaps, view_mats = affine.augment_views_and_peaks(
                 akey, box.astype(warp_dtype), mb["peaks"], mb["peak_vals"],
+                num_views=views,
                 sigma=cfg.sigma,
                 rotation_range=cfg.rotation_range,
                 xy_shifts=cfg.xy_shifts,
@@ -84,7 +92,9 @@ def make_sharded_train_step(model, cfg: Config, mesh: Mesh):
                 do_vertical_flip=cfg.vertical_flip,
                 order=order,
             )
-        elif cfg.do_augmentations:
+        elif cfg.do_augmentations and "P" not in mb:
+            # camera-matrix models never warp-augment without per-view
+            # matrices to fold into P (see train/loop.py twin)
             key, akey = jax.random.split(key)
             box, confmaps = affine.augment_pair(
                 akey, box, confmaps,
@@ -94,8 +104,15 @@ def make_sharded_train_step(model, cfg: Config, mesh: Mesh):
                 do_horizontal_flip=cfg.horizontal_flip,
                 do_vertical_flip=cfg.vertical_flip,
                 order=order,
+                num_views=views,
             )
         mb = dict(mb, image=box, confmaps=confmaps)
+        if view_mats is not None and "P" in mb:
+            from ..ops import geometry
+
+            mb["P"], mb["P_inv"] = geometry.compose_affine_into_cameras(
+                view_mats, mb["P"], mb["P_inv"]
+            )
         if batch_stats:
             # Cross-replica BatchNorm comes for free under GSPMD: the batch
             # axis is sharded over ``data``, so the BN mean/var reductions

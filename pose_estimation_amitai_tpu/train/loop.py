@@ -111,17 +111,25 @@ def make_train_step(model, cfg: Config):
         jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     )
 
+    from ..models import augmentation_views
+
+    views = augmentation_views(cfg.model_type)
+
     def microbatch(params, batch_stats, key, data, ids):
         box = jnp.take(data["box"], ids, axis=0)
+        view_mats = None
         if cfg.do_augmentations and "peaks" in data:
             # fast path: warp images only; re-render exact Gaussian targets
             # at the transformed peaks (ensure_sigma semantics — and ~5x
-            # less gather work than warping every target channel)
+            # less gather work than warping every target channel). Multicam
+            # models draw an INDEPENDENT transform per camera view
+            # (pytorch/Datagenerators.py:141-153).
             key, akey = jax.random.split(key)
-            box, confmaps = affine.augment_images_and_peaks(
+            box, confmaps, view_mats = affine.augment_views_and_peaks(
                 akey, box.astype(warp_dtype),
                 jnp.take(data["peaks"], ids, axis=0),
                 jnp.take(data["peak_vals"], ids, axis=0),
+                num_views=views,
                 sigma=cfg.sigma,
                 rotation_range=cfg.rotation_range,
                 xy_shifts=cfg.xy_shifts,
@@ -144,7 +152,12 @@ def make_train_step(model, cfg: Config):
             ) * jnp.take(data["peak_vals"], ids, axis=0)[:, None, None, :]
         else:
             confmaps = jnp.take(data["confmaps"], ids, axis=0)
-            if cfg.do_augmentations:
+            # camera-matrix models never warp-augment on this path: without
+            # per-view matrices to fold into P the FTL projection would no
+            # longer match the warped pixels (reference behaviour:
+            # CameraMatrixGenerator does not augment,
+            # pytorch/Datagenerators.py:242-270)
+            if cfg.do_augmentations and "P" not in data:
                 key, akey = jax.random.split(key)
                 box, confmaps = affine.augment_pair(
                     akey, box, confmaps,
@@ -154,11 +167,20 @@ def make_train_step(model, cfg: Config):
                     do_horizontal_flip=cfg.horizontal_flip,
                     do_vertical_flip=cfg.vertical_flip,
                     order=order,
+                    num_views=views,
                 )
         batch = {"image": box, "confmaps": confmaps}
         for k in ("P", "P_inv"):
             if k in data:
                 batch[k] = jnp.take(data[k], ids, axis=0)
+        if view_mats is not None and "P" in batch:
+            # fold each view's image warp into its camera so the FTL
+            # geometry stays consistent with the warped pixels
+            from ..ops import geometry
+
+            batch["P"], batch["P_inv"] = geometry.compose_affine_into_cameras(
+                view_mats, batch["P"], batch["P_inv"]
+            )
 
         def compute_loss(p):
             if batch_stats:
