@@ -21,6 +21,9 @@ Covered semantics, with reference citations:
 * body-parts mask/peak matching             pytorch/preprocessor.py:551-588
 * curriculum sort by wing size              pytorch/preprocessor.py:530-536
 * left/right 3D consistency checker         pytorch/preprocessor.py:271-303
+* body segmentation masks                   tensorflow/preprocessor.py:601-619
+* net wing sizes + net-size camera ranking  tensorflow/preprocessor.py:621-635, 552-558
+* small-wings model paths                   tensorflow/preprocessor.py:463-467
 """
 
 from __future__ import annotations
@@ -249,11 +252,14 @@ class Preprocessor:
         mt = self.model_type
         if mt in (C.ALL_POINTS_MODEL, C.ALL_POINTS_MODEL_VIT):
             return self.reshape_to_cnn_input
-        if mt in (C.PER_WING_MODEL, C.TRAIN_ON_3_GOOD_CAMERAS_MODEL, C.ALL_CAMS):
+        if mt in (C.PER_WING_MODEL, C.TRAIN_ON_3_GOOD_CAMERAS_MODEL,
+                  C.ALL_CAMS, C.PER_WING_SMALL_WINGS_MODEL,
+                  C.PER_WING_1_SIZE_RANK):
             return self.do_reshape_per_wing
         if mt in (
             C.MODEL_18_POINTS_PER_WING,
             C.MODEL_18_POINTS_3_GOOD_CAMERAS,
+            C.MODEL_18_POINTS_3_GOOD_CAMERAS_VIT,
             C.MODEL_18_POINTS_PER_WING_VIT,
             C.GPTNET,
         ):
@@ -425,16 +431,91 @@ class Preprocessor:
                     box[frame, cam, :, :, ch] = new_mask
         return box, problematic
 
+    # -- body / net-wing segmentation -----------------------------------------
+    def get_body_masks(
+        self, opening_rad: int = 6
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Body segmentation per (frame, cam): mean of the fly time channels
+        >= 0.7, disk(opening_rad) dilation then erosion
+        (tensorflow/preprocessor.py:601-619).
+
+        Computed from ``box_orig``'s shared fly channels (identical to the
+        pre-split time channels) so the masks are always frame-aligned with
+        the per-wing masks — the reference computes them at ``__init__``
+        and can go stale after ``mix_with_test`` grows the frame count.
+
+        Returns ``(masks (F, C, H, W) bool, sizes (F, C))``.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops import morphology
+
+        assert self.box_orig is not None, "split_per_wing must run first"
+        t = self.num_time_channels
+        fly = jnp.asarray(self.box_orig[..., :t])
+        masks = np.asarray(
+            jax.jit(morphology.body_masks, static_argnums=(1, 2))(
+                fly, 0.7, opening_rad
+            )
+        )
+        sizes = np.count_nonzero(masks, axis=(-2, -1))
+        return masks, sizes
+
+    def get_neto_wings_masks(self) -> np.ndarray:
+        """Net wing sizes: wing minus its intersection with (body OR the
+        other wing), restricted to the fly's focal-frame support
+        (tensorflow/preprocessor.py:621-635), vectorised over (F, C, 2).
+
+        Returns (F, C, 2) pixel counts used to rank cameras by how much
+        *usable* wing each sees — a raw mask count over-ranks cameras where
+        the wing hides behind the body.
+        """
+        assert self.box_orig is not None, "split_per_wing must run first"
+        body, _ = self.get_body_masks()
+        t = self.num_time_channels
+        fly = self.box_orig[..., 1] != 0
+        left = self.box_orig[..., t].astype(bool)
+        right = self.box_orig[..., t + 1].astype(bool)
+        sizes = np.zeros(body.shape[:2] + (2,), np.float64)
+        for wing_num, (wing, other) in enumerate(
+            ((left, right), (right, left))
+        ):
+            neto = wing & ~(body | other) & fly
+            sizes[..., wing_num] = np.count_nonzero(neto, axis=(-2, -1))
+        return sizes
+
+    def _per_wing_net_sizes(self) -> np.ndarray:
+        """(2F, C) net wing sizes aligned with per-wing sample order (left
+        samples first, then right — tensorflow/preprocessor.py:552-555)."""
+        self.wings_sizes = self.get_neto_wings_masks()
+        return np.concatenate(
+            (self.wings_sizes[..., 0], self.wings_sizes[..., 1]), axis=0
+        )
+
     # -- camera ranking ------------------------------------------------------
     @staticmethod
     def take_n_good_cameras(
-        box: np.ndarray, confmaps: np.ndarray, n: int, wing_size_rank: int = 3
+        box: np.ndarray,
+        confmaps: np.ndarray,
+        n: int,
+        wing_size_rank: int = 3,
+        wing_sizes: np.ndarray | None = None,
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-        """Keep the n cameras with the largest wing masks per frame
-        (pytorch/preprocessor.py:427-452), vectorised."""
-        wing_sizes = np.count_nonzero(box[..., -1], axis=(2, 3))  # (F, C)
+        """Keep the n cameras with the largest wing masks per frame,
+        vectorised.
+
+        ``wing_sizes`` (F, C): ranking scores — net wing sizes when
+        available (tensorflow/preprocessor.py:375-397 consumed at :552-558);
+        falls back to raw mask nonzero counts (the PyTorch flavour,
+        pytorch/preprocessor.py:427-452). Also returns the rank-
+        ``wing_size_rank`` camera's view per frame (``small_wings_box`` /
+        ``small_wings_confmaps``) for the PER_WING_SMALL_WINGS /
+        PER_WING_1_SIZE_RANK models."""
+        if wing_sizes is None:
+            wing_sizes = np.count_nonzero(box[..., -1], axis=(2, 3))  # (F, C)
         order = np.argsort(-wing_sizes, axis=1, kind="stable")
-        d_inds = order[:, wing_size_rank]
+        d_inds = order[:, min(wing_size_rank, order.shape[1] - 1)]
         best = np.sort(order[:, :n], axis=1)  # (F, n)
         f_idx = np.arange(box.shape[0])[:, None]
         new_box = box[f_idx, best]
@@ -461,9 +542,12 @@ class Preprocessor:
         right_cm = np.concatenate((wings_cm[nf:], head_tail), axis=-1)
         self.confmaps = np.concatenate((left_cm, right_cm), axis=0)
         self._adjust_masks_per_wing()
-        if self.model_type == C.MODEL_18_POINTS_3_GOOD_CAMERAS:
+        # net wing sizes rank the cameras (tensorflow/preprocessor.py:552-558)
+        wings_sizes_all = self._per_wing_net_sizes()
+        if self.model_type in (C.MODEL_18_POINTS_3_GOOD_CAMERAS,
+                               C.MODEL_18_POINTS_3_GOOD_CAMERAS_VIT):
             self.box, self.confmaps, _, _, _ = self.take_n_good_cameras(
-                self.box, self.confmaps, 3
+                self.box, self.confmaps, 3, wing_sizes=wings_sizes_all
             )
         self.box = self.box.reshape((-1,) + self.box.shape[2:])
         self.confmaps = self.confmaps.reshape((-1,) + self.confmaps.shape[2:])
@@ -521,13 +605,18 @@ class Preprocessor:
             self.box, self.confmaps, C.PER_WING_MODEL, C.RANDOM_TRAIN_SET
         )
         self._adjust_masks_per_wing()
+        needs_ranking = self.model_type in (
+            C.TRAIN_ON_3_GOOD_CAMERAS_MODEL, C.ALL_CAMS,
+            C.PER_WING_SMALL_WINGS_MODEL, C.PER_WING_1_SIZE_RANK,
+        )
+        wings_sizes_all = self._per_wing_net_sizes() if needs_ranking else None
         if self.model_type == C.TRAIN_ON_3_GOOD_CAMERAS_MODEL:
             self.box, self.confmaps, _, _, _ = self.take_n_good_cameras(
-                self.box, self.confmaps, 3
+                self.box, self.confmaps, 3, wing_sizes=wings_sizes_all
             )
         if self.model_type == C.ALL_CAMS:
             self.box, self.confmaps, _, _, _ = self.take_n_good_cameras(
-                self.box, self.confmaps, 4
+                self.box, self.confmaps, 4, wing_sizes=wings_sizes_all
             )
             num_cams = self.box.shape[1]
             self.box = np.concatenate(
@@ -538,8 +627,24 @@ class Preprocessor:
             )
             self.num_samples = self.box.shape[0]
             return
-        self.box = self.box.reshape((-1,) + self.box.shape[2:])
-        self.confmaps = self.confmaps.reshape((-1,) + self.confmaps.shape[2:])
+        if self.model_type in (C.PER_WING_SMALL_WINGS_MODEL,
+                               C.PER_WING_1_SIZE_RANK):
+            # train on the rank-k camera's view only: the SMALL_WINGS model
+            # takes the smallest of 4 (rank 3), PER_WING_1_SIZE_RANK takes
+            # config ``rank wing size`` (tensorflow/preprocessor.py:463-467;
+            # the reference then reshapes the already-4D output — a crash
+            # bug resolved here, SURVEY §7 hard part 3)
+            rank = (3 if self.model_type == C.PER_WING_SMALL_WINGS_MODEL
+                    else int(self.wing_size_rank))
+            _, _, self.box, self.confmaps, _ = self.take_n_good_cameras(
+                self.box, self.confmaps, 3, wing_size_rank=rank,
+                wing_sizes=wings_sizes_all,
+            )
+        else:
+            self.box = self.box.reshape((-1,) + self.box.shape[2:])
+            self.confmaps = self.confmaps.reshape(
+                (-1,) + self.confmaps.shape[2:]
+            )
         self.num_samples = self.box.shape[0]
         if self.cfg.do_curriculum_learning:
             self.sort_by_wing_size()

@@ -133,13 +133,23 @@ def erode_disk(mask: jax.Array, radius: int) -> jax.Array:
 
 
 def body_masks(
-    time_channel: jax.Array, threshold: float = 0.7, dil: int = 6, ero: int = 9
+    time_channels: jax.Array, threshold: float = 0.7, radius: int = 6
 ) -> jax.Array:
-    """Body segmentation mask: threshold + disk dilate + disk erode.
+    """Body segmentation mask from the fly's time channels.
 
-    Reference: ``Preprocessor.get_body_masks``
-    (tensorflow/preprocessor.py:601-619) — threshold 0.7 on the focal time
-    channel, disk(6) dilation then disk(9) erosion.
+    Exact semantics of ``Preprocessor.get_body_masks``
+    (tensorflow/preprocessor.py:601-619): mean over the time channels,
+    ``>= 0.7`` threshold, then disk(``opening_rad``) dilation followed by
+    disk erosion with the SAME element (a morphological closing) — batched
+    over all leading (frames, cams) dims in one call instead of the
+    reference's per-frame-per-camera loop.
+
+    Args:
+      time_channels: (..., H, W, T) fly time channels.
+
+    Returns:
+      (..., H, W) boolean body masks.
     """
-    binary = time_channel > threshold
-    return erode_disk(dilate_disk(binary, dil), ero)
+    av = jnp.mean(time_channels.astype(jnp.float32), axis=-1)
+    binary = av >= threshold
+    return erode_disk(dilate_disk(binary, radius), radius)
