@@ -59,7 +59,6 @@ _ALIASES: dict[str, tuple[str, ...]] = {
     "mask_dilation": ("mask dilation",),
     "single_time_channel": ("single time channel",),
     "do_augmentations": ("do augmentations",),
-    "custom_augmentations": ("custom",),
     "xy_shifts": ("augmentation shift x y",),
     "rotation_range": ("rotation range",),
     "seed": ("seed",),
@@ -84,7 +83,6 @@ _ALIASES: dict[str, tuple[str, ...]] = {
     "resume_from": ("resume_from",),
     "coarse_model_path": ("coarse_model_path",),
     "pretrained_encoder_path": ("pretrained_encoder_path",),
-    "num_workers": ("num_workers",),
     "sigma": ("sigma",),
     "profile": ("profile",),
     "nan_debug": ("nan_debug",),
@@ -140,7 +138,6 @@ class Config:
     single_time_channel: bool = False
     # --- augmentation ---
     do_augmentations: bool = True
-    custom_augmentations: bool = True
     xy_shifts: float = 10.0
     rotation_range: float = 30.0
     seed: int = 1
@@ -167,7 +164,6 @@ class Config:
     resume_from: str = ""  # checkpoint dir/file to resume training from
     coarse_model_path: str = ""  # C2F: frozen coarse-stage checkpoint
     pretrained_encoder_path: str = ""  # fine-tune after self-supervision
-    num_workers: int = 0
     sigma: float = 3.0  # Gaussian confmap sigma (simple_data_generator.py:120)
     profile: bool = False  # jax.profiler trace around the train loop
     nan_debug: bool = False  # jax debug_nans (analog of detect_anomaly)

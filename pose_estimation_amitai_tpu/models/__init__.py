@@ -19,12 +19,13 @@ from ..config import Config
 from .cnn import BasicNet, C2FPerWing, CoarsePerWing, TwoWingsNet
 from .disentangled import FourCamDisentangled
 from .multicam import MultiCamNet
-from .resnet import ResNetHeatmapNet
+from .resnet import GPTResNet, ResNetHeatmapNet
 from .vit import ViT4Cameras, ViTPoseNet
 
 __all__ = [
     "BasicNet", "CoarsePerWing", "C2FPerWing", "TwoWingsNet", "MultiCamNet",
-    "FourCamDisentangled", "ResNetHeatmapNet", "ViTPoseNet", "ViT4Cameras",
+    "FourCamDisentangled", "ResNetHeatmapNet", "GPTResNet", "ViTPoseNet",
+    "ViT4Cameras",
     "build_model", "needs_camera_matrices", "augmentation_views",
 ]
 
@@ -129,5 +130,9 @@ def build_model(
             out_channels=num_output_channels, kernel_size=cfg.kernel_size,
             dtype=dtype,
         )
+    if mt == C.GPTNET:
+        # pytorch/Network.py:15-26 routes GPTNET to the hand-written
+        # residual enc-dec (NNs warehouse/NNs.py:70-136)
+        return GPTResNet(out_channels=num_output_channels, dtype=dtype)
     # default: per-wing basic encoder-decoder (tensorflow/Network.py:59-60)
     return BasicNet(**cnn_kw)

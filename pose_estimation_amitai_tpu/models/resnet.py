@@ -71,6 +71,99 @@ class ResNet50Encoder(nn.Module):
         return x
 
 
+class BasicResBlock(nn.Module):
+    """Basic (non-bottleneck) residual block: 3x3 BN ReLU 3x3 BN + skip.
+
+    Twin of ``ResidualBlock`` (reference: pytorch/NNs warehouse/
+    NNs.py:140-160) with the 1x1+BN projection shortcut when shape changes.
+    """
+
+    features: int
+    strides: int = 1
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        bn = lambda name: nn.BatchNorm(use_running_average=not train,
+                                       dtype=jnp.float32, name=name)
+        conv = lambda f, k, s, name: nn.Conv(
+            f, (k, k), strides=(s, s), padding="SAME", use_bias=False,
+            dtype=self.dtype, param_dtype=jnp.float32, name=name,
+        )
+        residual = x
+        y = nn.relu(bn("bn1")(conv(self.features, 3, self.strides, "conv1")(x)))
+        y = bn("bn2")(conv(self.features, 3, 1, "conv2")(y.astype(self.dtype)))
+        if residual.shape[-1] != self.features or self.strides != 1:
+            residual = bn("bn_proj")(
+                conv(self.features, 1, self.strides, "conv_proj")(x)
+            )
+        return nn.relu(y + residual)
+
+
+class GPTResNet(nn.Module):
+    """Hand-written residual encoder-decoder with skip additions.
+
+    TPU twin of ``GPTResNetEncoderDecoder`` (reference: pytorch/NNs
+    warehouse/NNs.py:70-136, dispatched by ``GPTNET`` at
+    pytorch/Network.py:15-26): 7x7/2 stem + 3x3/2 maxpool, four basic-block
+    encoder stages (64/128/256/512, 2 blocks each), four 2x2/2 deconv
+    decoder stages with encoder skip ADDITIONS and 2 residual blocks each,
+    a 1x1 head, and a final bicubic resize to the input resolution (the
+    reference hard-codes 192 — resolved to use the true shape).
+    """
+
+    out_channels: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        h, w = x.shape[1:3]
+        y = nn.Conv(64, (7, 7), strides=(2, 2), padding="SAME",
+                    use_bias=False, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="stem")(x.astype(self.dtype))
+        y = nn.relu(nn.BatchNorm(use_running_average=not train,
+                                 dtype=jnp.float32, name="stem_bn")(y))
+        y = nn.max_pool(y, (3, 3), strides=(2, 2), padding="SAME")
+
+        def stage(z, feat, strides, name):
+            z = BasicResBlock(feat, strides, self.dtype,
+                              name=f"{name}_block0")(z, train=train)
+            return BasicResBlock(feat, 1, self.dtype,
+                                 name=f"{name}_block1")(z, train=train)
+
+        skip1 = y = stage(y, 64, 1, "enc1")
+        skip2 = y = stage(y, 128, 2, "enc2")
+        skip3 = y = stage(y, 256, 2, "enc3")
+        y = stage(y, 512, 2, "enc4")
+
+        def up(z, feat, name, like=None):
+            z = nn.ConvTranspose(
+                feat, (2, 2), strides=(2, 2), padding="VALID",
+                dtype=self.dtype, param_dtype=jnp.float32, name=name,
+            )(z)
+            if like is not None:
+                # odd encoder sizes (non-192 inputs) round up under 2x
+                # deconv; crop to the skip's dims before the addition
+                z = z[:, : like.shape[1], : like.shape[2], :]
+            return z
+
+        y = stage(up(y, 256, "up4", skip3) + skip3, 256, 1, "dec4")
+        y = stage(up(y, 128, "up3", skip2) + skip2, 128, 1, "dec3")
+        y = stage(up(y, 64, "up2", skip1) + skip1, 64, 1, "dec2")
+        y = up(y, 64, "up1")
+        y = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                    param_dtype=jnp.float32, name="head")(y)
+        # F.interpolate(..., mode='bicubic') twin; /4 stem+pool vs /8 of
+        # deconvs means the head is at half resolution here
+        import jax
+
+        y = jax.image.resize(
+            y.astype(jnp.float32),
+            (y.shape[0], h, w, self.out_channels), method="cubic",
+        )
+        return y
+
+
 class ResNetHeatmapNet(nn.Module):
     """ResNet50 encoder + 5 channel-halving stride-2 deconvs to heatmaps.
 

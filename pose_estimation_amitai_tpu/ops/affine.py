@@ -40,6 +40,7 @@ class AugmentParams(NamedTuple):
     shift_y: jax.Array
     flip_h: jax.Array  # bool
     flip_v: jax.Array  # bool
+    shear_deg: jax.Array | None = None  # keras ImageDataGenerator shear
 
 
 def sample_augment_params(
@@ -50,6 +51,7 @@ def sample_augment_params(
     zoom_range: tuple[float, float] = (1.0, 1.0),
     do_horizontal_flip: bool = True,
     do_vertical_flip: bool = True,
+    shear_range: float = 0.0,
 ) -> AugmentParams:
     """Draw per-sample augmentation parameters.
 
@@ -57,8 +59,11 @@ def sample_augment_params(
     (tensorflow/simple_data_generator.py:72-95, pytorch/Datagenerators.py:169-185):
     uniform angle in +-rotation_range, uniform shifts in +-xy_shifts, uniform
     scale in zoom_range, Bernoulli(0.5) flips gated by the config switches.
+    ``shear_range`` (degrees) is the keras ``ImageDataGenerator(shear_range=)``
+    knob the TF stack's stock augmentation path uses
+    (tensorflow/Augmentor.py:44): uniform shear intensity in +-shear_range.
     """
-    k_ang, k_sc, k_sx, k_sy, k_fh, k_fv = jax.random.split(key, 6)
+    k_ang, k_sc, k_sx, k_sy, k_fh, k_fv, k_sh = jax.random.split(key, 7)
     angle = jax.random.uniform(
         k_ang, (batch,), minval=-rotation_range, maxval=rotation_range
     )
@@ -69,7 +74,13 @@ def sample_augment_params(
     shift_y = jax.random.uniform(k_sy, (batch,), minval=-xy_shifts, maxval=xy_shifts)
     flip_h = jax.random.bernoulli(k_fh, 0.5, (batch,)) & do_horizontal_flip
     flip_v = jax.random.bernoulli(k_fv, 0.5, (batch,)) & do_vertical_flip
-    return AugmentParams(angle, scale, shift_x, shift_y, flip_h, flip_v)
+    shear = (
+        jax.random.uniform(
+            k_sh, (batch,), minval=-shear_range, maxval=shear_range
+        )
+        if shear_range > 0 else None
+    )
+    return AugmentParams(angle, scale, shift_x, shift_y, flip_h, flip_v, shear)
 
 
 def make_affine_matrix(
@@ -130,7 +141,21 @@ def make_affine_matrix(
             [zero, zero, one],
         ]
     )
-    return rot @ shift @ scale @ flip
+    out = rot @ shift @ scale @ flip
+    if params.shear_deg is not None:
+        # keras apply_affine_transform shear about the centre:
+        # x' = x - sin(s)(y - cy); y' = cos(s)(y - cy) + cy
+        sh = jnp.deg2rad(params.shear_deg)
+        ssin, scos = jnp.sin(sh), jnp.cos(sh)
+        shear = mat(
+            [
+                [one, -ssin, ssin * cy],
+                [zero, scos, cy * (1.0 - scos)],
+                [zero, zero, one],
+            ]
+        )
+        out = out @ shear
+    return out
 
 
 def _cubic_weights(t: jax.Array) -> tuple[jax.Array, ...]:
@@ -247,11 +272,13 @@ def affine_warp_batch(
     )
 
 
-def _shear_limit(rotation_range: float) -> float:
+def _shear_limit(rotation_range: float, shear_range: float = 0.0) -> float:
     """Static bound on the separable warp's shear coefficients for a given
-    rotation range (degrees): |tan| of the rot90-normalised angle. Sizes the
-    widened intermediate canvases, so small-rotation configs stay cheap."""
-    deg = min(abs(float(rotation_range)), 45.0)
+    rotation (+ keras shear) range in degrees: |tan| of the rot90-normalised
+    combined angle (tan is superadditive on [0, 45], so tan(rot+shear)
+    bounds the composed coefficient). Sizes the widened intermediate
+    canvases, so small-rotation configs stay cheap."""
+    deg = min(abs(float(rotation_range)) + abs(float(shear_range)), 45.0)
     return min(1.0, float(np.tan(np.deg2rad(deg))) * 1.01 + 0.01)
 
 
@@ -494,6 +521,7 @@ def augment_images_and_peaks(
     zoom_range: tuple[float, float] = (1.0, 1.0),
     do_horizontal_flip: bool = True,
     do_vertical_flip: bool = True,
+    shear_range: float = 0.0,
     order: int = 1,
     method: str = "separable",
 ) -> tuple[jax.Array, jax.Array]:
@@ -518,7 +546,8 @@ def augment_images_and_peaks(
         key, images, peaks_xy, peak_vals, num_views=1, sigma=sigma,
         rotation_range=rotation_range, xy_shifts=xy_shifts,
         zoom_range=zoom_range, do_horizontal_flip=do_horizontal_flip,
-        do_vertical_flip=do_vertical_flip, order=order, method=method,
+        do_vertical_flip=do_vertical_flip, shear_range=shear_range,
+        order=order, method=method,
     )
     return warped, maps
 
@@ -535,6 +564,7 @@ def augment_views_and_peaks(
     zoom_range: tuple[float, float] = (1.0, 1.0),
     do_horizontal_flip: bool = True,
     do_vertical_flip: bool = True,
+    shear_range: float = 0.0,
     order: int = 1,
     method: str = "separable",
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
@@ -569,6 +599,7 @@ def augment_views_and_peaks(
         zoom_range=zoom_range,
         do_horizontal_flip=do_horizontal_flip,
         do_vertical_flip=do_vertical_flip,
+        shear_range=shear_range,
     )
     mats = make_affine_matrix(params, h, w)  # (B*V, 3, 3)
 
@@ -585,7 +616,7 @@ def augment_views_and_peaks(
     if method == "separable":
         warped = affine_warp_separable_batch(
             imgs_v, mats, order,
-            shear_limit=_shear_limit(rotation_range),
+            shear_limit=_shear_limit(rotation_range, shear_range),
         )
     else:
         warped = affine_warp_batch(imgs_v, mats, order)
@@ -613,6 +644,7 @@ def augment_pair(
     zoom_range: tuple[float, float] = (1.0, 1.0),
     do_horizontal_flip: bool = True,
     do_vertical_flip: bool = True,
+    shear_range: float = 0.0,
     order: int = 1,
     method: str = "separable",
     num_views: int = 1,
@@ -648,6 +680,7 @@ def augment_pair(
         zoom_range=zoom_range,
         do_horizontal_flip=do_horizontal_flip,
         do_vertical_flip=do_vertical_flip,
+        shear_range=shear_range,
     )
     mats = make_affine_matrix(params, h, w)
 
@@ -676,7 +709,7 @@ def augment_pair(
     if method == "separable":
         warped = affine_warp_separable_batch(
             stacked, mats, order,
-            shear_limit=_shear_limit(rotation_range),
+            shear_limit=_shear_limit(rotation_range, shear_range),
         )
     else:
         warped = affine_warp_batch(stacked, mats, order)

@@ -132,6 +132,74 @@ def erode_disk(mask: jax.Array, radius: int) -> jax.Array:
     return binary_erosion(mask, disk(radius), iterations=1)
 
 
+def grey_dilate_cross(x: jax.Array) -> jax.Array:
+    """One grey-scale dilation step with the 3x3 cross over (..., H, W, M).
+
+    Max of the centre and its 4-neighbours (zero border) — the soft-mask
+    generalisation of one ``scipy.ndimage.binary_dilation`` iteration:
+    identical on {0, 1} masks, monotone on warped soft masks.
+    """
+    pad = [(0, 0)] * (x.ndim - 3) + [(1, 1), (1, 1), (0, 0)]
+    p = jnp.pad(x, pad)
+    h, w = x.shape[-3], x.shape[-2]
+
+    def sl(dy, dx):
+        return p[..., 1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w, :]
+
+    out = sl(0, 0)
+    for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+        out = jnp.maximum(out, sl(dy, dx))
+    return out
+
+
+def random_mask_redilation(
+    key: jax.Array,
+    images: jax.Array,
+    max_dilation: int,
+    num_views: int = 1,
+) -> jax.Array:
+    """Randomly re-dilate the wing-mask channels per sample (jit-safe).
+
+    The ``wings_masks_dilation`` augmentation
+    (tensorflow/simple_data_generator.py:84-87, 99-117): with probability
+    0.5 per sample, dilate the mask channels by ``k ~ randint(0,
+    max_dilation)`` iterations. The reference's channel table (4 -> [-1],
+    5 -> [-2, -1], 16 -> every 4th) generalises to: the last channel of
+    each camera-view block for multicam inputs, the trailing one (per-wing)
+    or two (all-points, C == T+2 == 5) mask channels otherwise. (The
+    reference overwrites the augmented mask with a dilation of the
+    UN-warped mask — a bug resolved here by dilating the warped mask,
+    SURVEY §7 hard part 3.)
+
+    Data-dependent iteration counts can't branch under jit, so all
+    ``max_dilation - 1`` dilation steps run and each sample selects its
+    k-th iterate — the steps are 5-tap VPU maxes over the (narrow) mask
+    channels only, negligible next to the warp itself.
+    """
+    b, h, w, c = images.shape
+    v = int(num_views)
+    if v > 1:
+        cpv = c // v
+        mask_inds = [cpv * (i + 1) - 1 for i in range(v)]
+    elif c == 5:
+        mask_inds = [c - 2, c - 1]
+    else:
+        mask_inds = [c - 1]
+
+    k_apply, k_size = jax.random.split(key)
+    apply = jax.random.bernoulli(k_apply, 0.5, (b,))
+    k = jax.random.randint(k_size, (b,), 0, max(int(max_dilation), 1))
+    k = jnp.where(apply, k, 0)
+
+    masks = images[..., jnp.asarray(mask_inds)]
+    out = masks
+    acc = masks
+    for step in range(1, max(int(max_dilation), 1)):
+        acc = grey_dilate_cross(acc)
+        out = jnp.where((k >= step)[:, None, None, None], acc, out)
+    return images.at[..., jnp.asarray(mask_inds)].set(out)
+
+
 def body_masks(
     time_channels: jax.Array, threshold: float = 0.7, radius: int = 6
 ) -> jax.Array:

@@ -90,6 +90,7 @@ def make_sharded_train_step(model, cfg: Config, mesh: Mesh):
                 zoom_range=cfg.zoom_range,
                 do_horizontal_flip=cfg.horizontal_flip,
                 do_vertical_flip=cfg.vertical_flip,
+                shear_range=cfg.shear_range,
                 order=order,
             )
         elif cfg.do_augmentations and "P" not in mb:
@@ -103,8 +104,18 @@ def make_sharded_train_step(model, cfg: Config, mesh: Mesh):
                 zoom_range=cfg.zoom_range,
                 do_horizontal_flip=cfg.horizontal_flip,
                 do_vertical_flip=cfg.vertical_flip,
+                shear_range=cfg.shear_range,
                 order=order,
                 num_views=views,
+            )
+        if cfg.do_augmentations and cfg.wings_masks_dilation > 0:
+            # random wing-mask re-dilation augmentation
+            # (tensorflow/simple_data_generator.py:84-87, 99-117)
+            from ..ops.morphology import random_mask_redilation
+
+            key, dkey = jax.random.split(key)
+            box = random_mask_redilation(
+                dkey, box, cfg.wings_masks_dilation, num_views=views
             )
         mb = dict(mb, image=box, confmaps=confmaps)
         if view_mats is not None and "P" in mb:

@@ -79,8 +79,21 @@ def _model_args(batch: dict[str, jax.Array]) -> tuple:
 
 def make_loss_fn(cfg: Config) -> Callable:
     """MSE heatmap loss (pytorch/train_pytorch.py:110), optionally the
-    decoded-coordinate pointwise loss (tensorflow/Network.py:536-547)."""
-    use_pointwise = cfg.loss_function in ("pointwise", "point_wise_loss")
+    decoded-coordinate pointwise loss (tensorflow/Network.py:536-547).
+
+    The ``*_TO_POINTS`` / ``*_POINTS_LOSS`` model types imply the pointwise
+    loss by name (tensorflow/constants.py); the reference never wires them
+    to a loss — resolved here: they train the plain heatmap model under the
+    decoded-coordinate objective.
+    """
+    from .. import constants as C
+
+    use_pointwise = cfg.loss_function in (
+        "pointwise", "point_wise_loss"
+    ) or cfg.model_type in (
+        C.MODEL_18_POINTS_PER_WING_VIT_TO_POINTS,
+        C.HEAD_TAIL_PER_CAM_POINTS_LOSS,
+    )
 
     def loss_fn(pred: jax.Array, target: jax.Array) -> jax.Array:
         pred = pred.astype(jnp.float32)
@@ -136,6 +149,7 @@ def make_train_step(model, cfg: Config):
                 zoom_range=cfg.zoom_range,
                 do_horizontal_flip=cfg.horizontal_flip,
                 do_vertical_flip=cfg.vertical_flip,
+                shear_range=cfg.shear_range,
                 order=order,
             )
         elif "peaks" in data:
@@ -166,9 +180,19 @@ def make_train_step(model, cfg: Config):
                     zoom_range=cfg.zoom_range,
                     do_horizontal_flip=cfg.horizontal_flip,
                     do_vertical_flip=cfg.vertical_flip,
+                    shear_range=cfg.shear_range,
                     order=order,
                     num_views=views,
                 )
+        if cfg.do_augmentations and cfg.wings_masks_dilation > 0:
+            # random wing-mask re-dilation augmentation
+            # (tensorflow/simple_data_generator.py:84-87, 99-117)
+            from ..ops.morphology import random_mask_redilation
+
+            key, dkey = jax.random.split(key)
+            box = random_mask_redilation(
+                dkey, box, cfg.wings_masks_dilation, num_views=views
+            )
         batch = {"image": box, "confmaps": confmaps}
         for k in ("P", "P_inv"):
             if k in data:

@@ -113,6 +113,16 @@ class Trainer:
             self.train_step = make_train_step(self.model, cfg)
         self.eval_step = make_eval_step(self.model, cfg)
         self.scheduler = PlateauScheduler(cfg)
+        # 'epochs pointwise loss' (reference config key, parsed but never
+        # wired there — tensorflow/train_config.json:11): warm up on heatmap
+        # MSE, then fine-tune under the decoded-coordinate pointwise loss
+        # from this epoch on (one extra jit compile at the switch).
+        self._pointwise_switch_epoch = (
+            cfg.epochs_pointwise_loss
+            if cfg.epochs_pointwise_loss > 0
+            and cfg.loss_function not in ("pointwise", "point_wise_loss")
+            else None
+        )
 
         self.start_epoch = 0
         self.best_loss = float("inf")
@@ -207,6 +217,9 @@ class Trainer:
 
         for epoch in range(self.start_epoch, cfg.epochs):
             print(f"Epoch {epoch + 1}/{cfg.epochs}", flush=True)
+            if (self._pointwise_switch_epoch is not None
+                    and epoch >= self._pointwise_switch_epoch):
+                self._switch_to_pointwise_loss()
             t_epoch = time()
             self.dataset.shuffle_train_indices()
             # Losses stay on device until the epoch ends: a per-step
@@ -280,6 +293,22 @@ class Trainer:
             "val_loss": val_losses,
             "l2": l2_means,
         }
+
+    def _switch_to_pointwise_loss(self) -> None:
+        """Swap the train step's loss to the pointwise objective
+        ('epochs pointwise loss' semantics — see __init__)."""
+        pw_cfg = self.cfg.replace(loss_function="pointwise")
+        if self.mesh is not None:
+            from ..parallel.sharded import make_sharded_train_step
+
+            self._sharded_step = make_sharded_train_step(
+                self.model, pw_cfg, self.mesh
+            )
+        else:
+            self.train_step = make_train_step(self.model, pw_cfg)
+        self._pointwise_switch_epoch = None
+        print("Switched training loss to pointwise (decoded coordinates)",
+              flush=True)
 
     def _run_sharded_step(self, idx: np.ndarray):
         """Gather (accum, B, ...) microbatches and run the mesh step."""

@@ -19,7 +19,10 @@ def _params(b=1, **kw):
         flip_v=np.zeros(b, bool),
     )
     d.update({k: np.asarray(v).reshape(b) for k, v in kw.items()})
-    return affine.AugmentParams(*[jnp.asarray(d[f]) for f in affine.AugmentParams._fields])
+    # shear_deg defaults to None (no shear factor) unless explicitly given
+    return affine.AugmentParams(
+        *[jnp.asarray(d[f]) for f in affine.AugmentParams._fields if f in d]
+    )
 
 
 def _warp(img_hwc, params, order=1):

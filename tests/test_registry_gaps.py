@@ -1,0 +1,244 @@
+"""Round-1 verdict #7: registry gaps — GPTNET dispatch, pointwise-loss model
+semantics, keras shear augmentation, random wing-mask re-dilation, dead keys.
+"""
+
+import numpy as np
+import pytest
+from scipy import ndimage
+
+import jax
+import jax.numpy as jnp
+
+from pose_estimation_amitai_tpu import constants as C
+from pose_estimation_amitai_tpu.config import Config
+from pose_estimation_amitai_tpu.models import (
+    GPTResNet, ViTPoseNet, build_model,
+)
+from pose_estimation_amitai_tpu.ops import affine, morphology
+from pose_estimation_amitai_tpu.train.loop import make_loss_fn
+
+
+# -- registry dispatch --------------------------------------------------------
+def test_reference_dispatchable_strings_build_intended_classes():
+    """Every string the reference dispatchers route must build the intended
+    module family (pytorch/Network.py:15-26, tensorflow/Network.py:42-61)."""
+    from pose_estimation_amitai_tpu.models import (
+        BasicNet, C2FPerWing, CoarsePerWing, FourCamDisentangled,
+        MultiCamNet, ResNetHeatmapNet, TwoWingsNet, ViT4Cameras,
+    )
+
+    cases = {
+        C.MODEL_18_POINTS_PER_WING: BasicNet,
+        C.PER_WING_MODEL: BasicNet,
+        C.GPTNET: GPTResNet,
+        C.MODEL_18_POINTS_PER_WING_VIT: ViTPoseNet,
+        C.MODEL_18_POINTS_PER_WING_VIT_TO_POINTS: ViTPoseNet,
+        C.ALL_CAMS_18_POINTS: MultiCamNet,
+        C.ALL_CAMS: MultiCamNet,
+        C.ALL_CAMS_AND_3_GOOD_CAMS: MultiCamNet,
+        C.ALL_CAMS_18_POINTS_VIT: ViT4Cameras,
+        C.VIT_4_CAMERAS: ViT4Cameras,
+        C.ALL_CAMS_DISENTANGLED_PER_WING_CNN: FourCamDisentangled,
+        C.ALL_CAMS_DISENTANGLED_PER_WING_VIT: FourCamDisentangled,
+        C.RESNET_18_POINTS_PER_WING: ResNetHeatmapNet,
+        C.TWO_WINGS_TOGATHER: TwoWingsNet,
+        C.C2F_PER_WING: C2FPerWing,
+        C.COARSE_PER_WING: CoarsePerWing,
+    }
+    for mt, cls in cases.items():
+        model = build_model(Config(model_type=mt, num_base_filters=8),
+                            (48, 48, 4), 6)
+        assert type(model) is cls, (mt, type(model))
+
+
+def test_gptnet_forward_shape_and_train_smoke(tmp_path):
+    cfg = Config(model_type=C.GPTNET, num_base_filters=8)
+    model = build_model(cfg, (48, 48, 4), 6)
+    variables = model.init({"params": jax.random.key(0)},
+                           jnp.zeros((2, 48, 48, 4)), train=False)
+    out = model.apply(variables, jnp.ones((2, 48, 48, 4)), train=False)
+    assert out.shape == (2, 48, 48, 6)
+    assert np.isfinite(np.asarray(out)).all()
+
+    from pose_estimation_amitai_tpu.data.synthetic import make_synthetic_arrays
+    from pose_estimation_amitai_tpu.train.trainer import Trainer
+
+    arrays = make_synthetic_arrays(num_frames=4, num_points=8, image_size=48)
+    tcfg = Config(model_type=C.GPTNET, epochs=1, batch_size=4,
+                  batches_per_epoch=1, base_output_path=str(tmp_path),
+                  val_fraction=0.5, do_augmentations=False)
+    hist = Trainer(tcfg, arrays=arrays).train()
+    assert np.isfinite(hist["train_loss"][0])
+
+
+# -- pointwise-loss model semantics -------------------------------------------
+def test_points_loss_models_use_pointwise_objective():
+    t = jnp.zeros((2, 32, 32, 3)).at[:, 10, 12, :].set(1.0)
+    p = jnp.zeros((2, 32, 32, 3)).at[:, 14, 9, :].set(1.0)
+    mse = make_loss_fn(Config())(p, t)
+    for mt in (C.MODEL_18_POINTS_PER_WING_VIT_TO_POINTS,
+               C.HEAD_TAIL_PER_CAM_POINTS_LOSS):
+        pw = make_loss_fn(Config(model_type=mt))(p, t)
+        # pointwise loss is squared pixel distance scale, MSE is map scale
+        assert float(pw) > 1.0 > float(mse)
+
+
+def test_epochs_pointwise_loss_switches_objective(tmp_path, capsys):
+    from pose_estimation_amitai_tpu.data.synthetic import make_synthetic_arrays
+    from pose_estimation_amitai_tpu.train.trainer import Trainer
+
+    arrays = make_synthetic_arrays(num_frames=4, num_points=6, image_size=48)
+    cfg = Config(epochs=2, epochs_pointwise_loss=1, batch_size=4,
+                 batches_per_epoch=1, num_base_filters=8,
+                 base_output_path=str(tmp_path), val_fraction=0.5,
+                 do_augmentations=False)
+    tr = Trainer(cfg, arrays=arrays)
+    assert tr._pointwise_switch_epoch == 1
+    hist = tr.train()
+    assert tr._pointwise_switch_epoch is None  # switched during epoch 2
+    assert np.isfinite(hist["train_loss"]).all()
+    assert "pointwise" in capsys.readouterr().out
+
+
+# -- keras shear --------------------------------------------------------------
+def test_shear_matrix_matches_keras_geometry():
+    """Centred keras shear: x' = x - sin(s)(y - cy), y' = cos(s)(y - cy) + cy."""
+    params = affine.AugmentParams(
+        angle_deg=jnp.zeros(1), scale=jnp.ones(1),
+        shift_x=jnp.zeros(1), shift_y=jnp.zeros(1),
+        flip_h=jnp.zeros(1, bool), flip_v=jnp.zeros(1, bool),
+        shear_deg=jnp.asarray([20.0]),
+    )
+    m = np.asarray(affine.make_affine_matrix(params, 33, 33))[0]
+    cy = 16.0
+    s = np.deg2rad(20.0)
+    for x, y in ((16.0, 16.0), (4.0, 28.0), (30.0, 2.0)):
+        got = m @ np.array([x, y, 1.0])
+        want = np.array(
+            [x - np.sin(s) * (y - cy), np.cos(s) * (y - cy) + cy, 1.0]
+        )
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_shear_augmentation_separable_matches_exact(rng):
+    """The separable warp's widened canvases must cover shear transforms
+    (smooth-image comparison, the established separable-vs-exact contract)."""
+    from pose_estimation_amitai_tpu.ops.gaussian import confmaps_from_peaks
+
+    pk = jnp.asarray(rng.uniform(16, 48, (4, 6, 2)).astype(np.float32))
+    img = confmaps_from_peaks(pk, (64, 64), 4.0)
+    params = affine.sample_augment_params(
+        jax.random.key(9), 4, rotation_range=25.0, xy_shifts=4.0,
+        zoom_range=(0.9, 1.1), shear_range=15.0,
+    )
+    assert params.shear_deg is not None
+    mats = affine.make_affine_matrix(params, 64, 64)
+    exact = np.asarray(affine.affine_warp_batch(img, mats, 3))
+    sep = np.asarray(affine.affine_warp_separable_batch(
+        img, mats, 3, shear_limit=affine._shear_limit(25.0, 15.0)
+    ))
+    assert np.max(np.abs(exact - sep)) < 0.06, np.max(np.abs(exact - sep))
+    assert np.mean(np.abs(exact - sep)) < 2e-3
+
+
+def test_shear_zero_is_bitwise_legacy(rng):
+    """shear_range=0 must not consume different RNG or change outputs
+    relative to the pre-shear code path (shear key is always split)."""
+    imgs = jnp.asarray(rng.random((2, 32, 32, 3)).astype(np.float32))
+    cms = jnp.asarray(rng.random((2, 32, 32, 2)).astype(np.float32))
+    key = jax.random.key(4)
+    a = affine.augment_pair(key, imgs, cms, rotation_range=20.0)
+    b = affine.augment_pair(key, imgs, cms, rotation_range=20.0,
+                            shear_range=0.0)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+
+
+# -- random wing-mask re-dilation ---------------------------------------------
+def test_random_mask_redilation_matches_scipy_iterations(rng):
+    b, hw = 8, 32
+    images = np.zeros((b, hw, hw, 4), np.float32)
+    images[..., :3] = rng.random((b, hw, hw, 3))
+    images[:, 12:18, 14:20, -1] = 1.0  # binary wing mask
+    key = jax.random.key(0)
+    out = np.asarray(morphology.random_mask_redilation(
+        key, jnp.asarray(images), max_dilation=4
+    ))
+    # non-mask channels untouched
+    np.testing.assert_array_equal(out[..., :3], images[..., :3])
+    # each sample's mask equals SOME scipy iteration count in [0, 4)
+    ks = []
+    for s in range(b):
+        matched = None
+        for k in range(4):
+            want = images[s, :, :, -1].astype(bool)
+            if k:
+                want = ndimage.binary_dilation(
+                    images[s, :, :, -1].astype(bool), iterations=k
+                )
+            if np.array_equal(out[s, :, :, -1] > 0.5, want):
+                matched = k
+                break
+        assert matched is not None, s
+        ks.append(matched)
+    assert max(ks) > 0  # some samples actually dilated
+    assert min(ks) == 0  # and some kept as-is (prob ~0.5 + k=0 draws)
+    # deterministic per key
+    out2 = np.asarray(morphology.random_mask_redilation(
+        key, jnp.asarray(images), max_dilation=4
+    ))
+    np.testing.assert_array_equal(out, out2)
+
+
+def test_mask_redilation_channel_tables():
+    """Mask channel selection: 5 -> [-2, -1]; multicam views -> block ends."""
+    b, hw = 4, 16
+    key = jax.random.key(1)
+    # all-points layout: 3 time + 2 masks
+    img5 = np.zeros((b, hw, hw, 5), np.float32)
+    img5[..., :3] = 0.7
+    img5[:, 6:9, 6:9, 3] = 1.0
+    img5[:, 2:5, 2:5, 4] = 1.0
+    out5 = np.asarray(morphology.random_mask_redilation(
+        key, jnp.asarray(img5), max_dilation=3
+    ))
+    np.testing.assert_array_equal(out5[..., :3], img5[..., :3])
+    assert (out5[..., 3:] >= img5[..., 3:]).all()  # dilation only grows
+    # multicam: 4 views x 4 channels -> masks at 3, 7, 11, 15
+    img16 = np.zeros((b, hw, hw, 16), np.float32)
+    img16[...] = 0.3
+    out16 = np.asarray(morphology.random_mask_redilation(
+        key, jnp.asarray(img16), max_dilation=3, num_views=4
+    ))
+    for ch in range(16):
+        if ch in (3, 7, 11, 15):
+            continue
+        np.testing.assert_array_equal(out16[..., ch], img16[..., ch])
+
+
+def test_training_with_mask_redilation_and_shear(tmp_path):
+    from pose_estimation_amitai_tpu.data.synthetic import make_synthetic_arrays
+    from pose_estimation_amitai_tpu.train.trainer import Trainer
+
+    arrays = make_synthetic_arrays(num_frames=4, num_points=6, image_size=48)
+    cfg = Config(epochs=1, batch_size=4, batches_per_epoch=1,
+                 num_base_filters=8, base_output_path=str(tmp_path),
+                 val_fraction=0.5, do_augmentations=True,
+                 rotation_range=15.0, xy_shifts=3.0, shear_range=10.0,
+                 wings_masks_dilation=3)
+    hist = Trainer(cfg, arrays=arrays).train()
+    assert np.isfinite(hist["train_loss"][0])
+
+
+# -- dead keys -----------------------------------------------------------------
+def test_dropped_reference_keys_still_ingest():
+    """Reference JSONs with num_workers / 'custom' keys must still parse."""
+    cfg = Config.from_dict({
+        "model type": "MODEL_18_POINTS_PER_WING",
+        "num_workers": 8, "custom": 1, "shear_range": 10,
+        "epochs pointwise loss": 5, "wings_masks_dilation": 3,
+    })
+    assert not hasattr(cfg, "num_workers")
+    assert not hasattr(cfg, "custom_augmentations")
+    assert cfg.shear_range == 10.0
+    assert cfg.epochs_pointwise_loss == 5
+    assert cfg.wings_masks_dilation == 3
