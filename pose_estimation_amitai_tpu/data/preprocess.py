@@ -134,22 +134,110 @@ class Preprocessor:
 
     # -- loading -----------------------------------------------------------
     @staticmethod
-    def _load_h5(path: str) -> dict[str, np.ndarray]:
-        """Load the five contract datasets, applying the reference's
-        transpose fixups (pytorch/preprocessor.py:102-118, 54, 60-62)."""
+    def _canonicalize_frames(name: str, arr: np.ndarray) -> np.ndarray:
+        """Return ``arr`` in the canonical frame layout, validating the
+        dataset contract instead of sniffing shapes.
+
+        Canonical: ``(frames, 4 cams, H, W, C)`` with square images and
+        ``C < H`` (time+mask channels or keypoint maps), or the movie-pair
+        form ``(2, frames, 4, H, W, C)``. Real reference files store the
+        fully transposed form (MATLAB column-major export), which the
+        reference un-did with fragile heuristics
+        (pytorch/preprocessor.py:102-118: ``box.shape[0] != 2 and
+        box.shape[1] != 4`` / ``confmaps.shape[1] == 192``) that silently
+        mis-handle 2-frame movies and 192-frame datasets. Here the array
+        must match the contract either as stored or fully reversed;
+        anything else — or a genuinely ambiguous shape — raises.
+        """
+
+        def matches(s: tuple[int, ...]) -> bool:
+            if len(s) == 5:
+                return s[1] == 4 and s[2] == s[3] and 0 < s[4] < s[2]
+            if len(s) == 6:
+                return (s[0] == 2 and s[2] == 4 and s[3] == s[4]
+                        and 0 < s[5] < s[3])
+            return False
+
+        if arr.ndim not in (5, 6):
+            raise ValueError(
+                f"{name}: expected 5-D (frames, 4, H, W, C) or 6-D movie-pair"
+                f" (2, frames, 4, H, W, C) (possibly transposed), got shape"
+                f" {arr.shape}"
+            )
+        as_is = matches(arr.shape)
+        reversed_ = matches(arr.shape[::-1])
+        if as_is and reversed_ and arr.shape != arr.shape[::-1]:
+            raise ValueError(
+                f"{name}: shape {arr.shape} matches the contract both as"
+                f" stored and transposed — store the canonical"
+                f" (frames, 4, H, W, C) layout to disambiguate"
+            )
+        if as_is:
+            return arr
+        if reversed_:
+            return arr.T
+        raise ValueError(
+            f"{name}: shape {arr.shape} matches the dataset contract in"
+            f" neither storage order; expected (frames, 4, H, W, C) with"
+            f" square H == W and C < H, or its full transpose"
+        )
+
+    @staticmethod
+    def _canonicalize_points_3d(pts: np.ndarray, num_frames: int) -> np.ndarray:
+        """``points_3D`` -> canonical (frames, points, 3).
+
+        Reference files store ``(3, frames, points)`` (un-done by the
+        ``transpose([1, 2, 0])`` at pytorch/preprocessor.py:60-62); a
+        canonical ``(frames, points, 3)`` is accepted too, disambiguated by
+        the known frame count when both orders have a 3-axis.
+        """
+        if pts.ndim != 3 or 3 not in (pts.shape[0], pts.shape[-1]):
+            raise ValueError(
+                f"points_3D: expected (3, frames, points) or"
+                f" (frames, points, 3), got shape {pts.shape}"
+            )
+        stored = pts.shape[0] == 3 and pts.shape[1] == num_frames
+        canonical = pts.shape[-1] == 3 and pts.shape[0] == num_frames
+        if stored and not canonical:
+            return np.transpose(pts, (1, 2, 0))
+        if canonical and not stored:
+            return pts
+        if canonical and stored:
+            # (3, 3, 3)-style degenerate: both readings agree on shape;
+            # prefer the reference's storage dialect
+            return np.transpose(pts, (1, 2, 0))
+        raise ValueError(
+            f"points_3D: shape {pts.shape} is inconsistent with the"
+            f" box frame count {num_frames}"
+        )
+
+    @classmethod
+    def _load_h5(cls, path: str) -> dict[str, np.ndarray]:
+        """Load the five contract datasets, normalising storage layout with
+        explicit validation (replaces the reference's transpose heuristics,
+        pytorch/preprocessor.py:102-118, 54, 60-62)."""
         import h5py
 
         with h5py.File(path, "r") as f:
-            box = f["box"][:]
-            confmaps = f["confmaps"][:]
+            box = cls._canonicalize_frames("box", f["box"][:])
+            confmaps = cls._canonicalize_frames("confmaps", f["confmaps"][:])
             cropzone = f["cropZone"][:]
-            cams = f["cameras_dlt_array"][:].T
+            cams_raw = f["cameras_dlt_array"][:]
             pts = f["points_3D"][:]
-        if box.shape[0] != 2 and box.shape[1] != 4:
-            box = box.T
-        if confmaps.shape[0] != 2 or confmaps.shape[1] == 192:
-            confmaps = confmaps.T
-        pts = np.transpose(pts, [1, 2, 0])
+        if cams_raw.shape != (4, 3, 4):
+            raise ValueError(
+                f"cameras_dlt_array: expected (4, 3, 4) DLT matrices"
+                f" (possibly transposed), got shape {cams_raw.shape}"
+            )
+        # (4,3,4) is shape-palindromic; keep the reference's .T dialect
+        cams = cams_raw.T
+        num_frames = box.shape[1] if box.ndim == 6 else box.shape[0]
+        pts = cls._canonicalize_points_3d(pts, num_frames)
+        if cropzone.ndim != 3 or cropzone.shape[-1] != 2:
+            raise ValueError(
+                f"cropZone: expected (frames, cams, 2) [y, x] crop offsets,"
+                f" got shape {cropzone.shape}"
+            )
         return {
             "box": box,
             "confmaps": confmaps,

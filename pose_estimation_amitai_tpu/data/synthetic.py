@@ -170,27 +170,35 @@ def write_synthetic_h5(
     num_frames: int = 16,
     num_points: int = 16,
     seed: int = 0,
+    layout: str = "transposed",
     **kw,
 ) -> str:
     """Write a synthetic dataset to ``path`` in the reference's H5 layout.
 
-    The real file stores arrays transposed relative to the canonical layout
-    (the loader transposes back: pytorch/preprocessor.py:110-118 + the
-    ``cameras_dlt_array[:].T`` at :54 and ``points_3D`` permute at :60-62);
-    we write the transposed forms so the loading code paths are exercised.
+    ``layout="transposed"`` (default) stores the fully reversed arrays the
+    real MATLAB-exported files carry (un-done by the loader's contract
+    canonicalisation; reference dialect pytorch/preprocessor.py:110-118,
+    ``cameras_dlt_array[:].T`` at :54, ``points_3D`` permute at :60-62);
+    ``layout="canonical"`` stores the post-fixup layouts directly — the
+    loader accepts both.
     """
     import h5py
 
     arrs = make_synthetic_arrays(num_frames, num_points, seed=seed, **kw)
+    transposed = layout == "transposed"
     with h5py.File(path, "w") as f:
-        # loader does X.T when shape[0] not in (2-ish); store transposed.
-        f.create_dataset("box", data=arrs["box"].T)
-        f.create_dataset("confmaps", data=arrs["confmaps"].T)
-        # loader: np.transpose(points_3D, [1, 2, 0]) -> store as (3, frames, pts).T?
-        # retrieve_points_3D does transpose([1,2,0]) on raw: raw (a,b,c) ->
-        # (b,c,a); we want (frames, pts, 3), so store raw = (3, frames, pts).
         f.create_dataset(
-            "points_3D", data=np.transpose(arrs["points_3D"], (2, 0, 1))
+            "box", data=arrs["box"].T if transposed else arrs["box"]
+        )
+        f.create_dataset(
+            "confmaps",
+            data=arrs["confmaps"].T if transposed else arrs["confmaps"],
+        )
+        # reference dialect: raw (3, frames, pts); canonical (frames, pts, 3)
+        f.create_dataset(
+            "points_3D",
+            data=np.transpose(arrs["points_3D"], (2, 0, 1))
+            if transposed else arrs["points_3D"],
         )
         f.create_dataset("cropZone", data=arrs["cropZone"])
         # loader: h5["cameras_dlt_array"][:].T -> (4,3,4); store (4,3,4).T

@@ -1,0 +1,146 @@
+"""Round-1 verdict #8: hardened H5 loading — contract validation replaces
+the reference's shape-sniffing transposes (pytorch/preprocessor.py:102-118),
+which silently mis-handled 2-frame movies and 192-frame datasets.
+"""
+
+import h5py
+import numpy as np
+import pytest
+
+from pose_estimation_amitai_tpu.data.preprocess import Preprocessor
+from pose_estimation_amitai_tpu.data.synthetic import (
+    make_synthetic_arrays, write_synthetic_h5,
+)
+
+
+def _roundtrip(path):
+    return Preprocessor._load_h5(str(path))
+
+
+@pytest.mark.parametrize("layout", ["transposed", "canonical"])
+def test_loader_roundtrip_both_layouts(tmp_path, layout):
+    """The loader must return identical canonical arrays for both storage
+    orders write_synthetic_h5 can emit."""
+    arrs = make_synthetic_arrays(num_frames=4, num_points=8, image_size=48)
+    path = tmp_path / f"{layout}.h5"
+    write_synthetic_h5(str(path), num_frames=4, num_points=8, image_size=48,
+                       layout=layout)
+    got = _roundtrip(path)
+    for k in ("box", "confmaps", "points_3D", "cropZone",
+              "cameras_dlt_array"):
+        np.testing.assert_allclose(got[k], arrs[k], rtol=1e-6, atol=1e-6,
+                                   err_msg=k)
+
+
+def _write_custom(path, box, confmaps, pts, cropzone, cams):
+    with h5py.File(path, "w") as f:
+        f.create_dataset("box", data=box)
+        f.create_dataset("confmaps", data=confmaps)
+        f.create_dataset("points_3D", data=pts)
+        f.create_dataset("cropZone", data=cropzone)
+        f.create_dataset("cameras_dlt_array", data=cams)
+
+
+def _contract_arrays(frames=2, hw=48, c_box=5, k_cm=10):
+    rng = np.random.default_rng(0)
+    box = rng.random((frames, 4, hw, hw, c_box)).astype(np.float32)
+    cm = rng.random((frames, 4, hw, hw, k_cm)).astype(np.float32)
+    pts = rng.random((3, frames, k_cm)).astype(np.float32)
+    cz = np.zeros((frames, 4, 2), np.int32)
+    cams = rng.random((4, 3, 4)).astype(np.float32)
+    return box, cm, pts, cz, cams
+
+
+def test_two_frame_movie_both_orders(tmp_path):
+    """A 2-frame dataset: the reference heuristic keyed on shape[0] == 2 and
+    got this wrong in one storage order; contract validation handles both."""
+    box, cm, pts, cz, cams = _contract_arrays(frames=2)
+    a = tmp_path / "canon.h5"
+    b = tmp_path / "trans.h5"
+    _write_custom(a, box, cm, pts, cz, cams.T)
+    _write_custom(b, box.T, cm.T, pts, cz, cams.T)
+    ga, gb = _roundtrip(a), _roundtrip(b)
+    np.testing.assert_array_equal(ga["box"], box)
+    np.testing.assert_array_equal(gb["box"], box)
+    np.testing.assert_array_equal(ga["confmaps"], cm)
+    np.testing.assert_array_equal(gb["confmaps"], cm)
+
+
+def test_two_channel_confmaps_transposed(tmp_path):
+    """Head-tail files have K=2 confmap channels; stored transposed their
+    shape[0] == 2 defeated the old heuristic (no transpose -> garbage)."""
+    box, cm, pts, cz, cams = _contract_arrays(frames=6, k_cm=2)
+    pts = np.random.default_rng(1).random((3, 6, 4)).astype(np.float32)
+    p = tmp_path / "ht.h5"
+    _write_custom(p, box.T, cm.T, pts, cz, cams.T)
+    got = _roundtrip(p)
+    np.testing.assert_array_equal(got["confmaps"], cm)
+
+
+def test_frame_count_equal_to_image_size(tmp_path):
+    """A 48-frame 48px dataset (the 192-frame/192px analogue): the old
+    confmaps heuristic transposed canonical storage whenever
+    shape[0] != 2."""
+    box, cm, pts, cz, cams = _contract_arrays(frames=48, hw=48)
+    p = tmp_path / "n192.h5"
+    _write_custom(p, box, cm, pts, cz, cams.T)
+    got = _roundtrip(p)
+    np.testing.assert_array_equal(got["box"], box)
+    np.testing.assert_array_equal(got["confmaps"], cm)
+
+
+def test_movie_pair_six_dim_both_orders(tmp_path):
+    """(2, frames, 4, H, W, C) head-tail movie pairs load in either
+    storage order (tensorflow/preprocessor.py:48-63)."""
+    box, cm, pts, cz, cams = _contract_arrays(frames=3)
+    pair_box = np.stack([box, box[::-1]])
+    pair_cm = np.stack([cm, cm[::-1]])
+    a, b = tmp_path / "pair_c.h5", tmp_path / "pair_t.h5"
+    _write_custom(a, pair_box, pair_cm, pts, cz, cams.T)
+    _write_custom(b, pair_box.T, pair_cm.T, pts, cz, cams.T)
+    np.testing.assert_array_equal(_roundtrip(a)["box"], pair_box)
+    np.testing.assert_array_equal(_roundtrip(b)["box"], pair_box)
+
+
+@pytest.mark.parametrize(
+    "shape",
+    [
+        (4, 48, 48, 5),            # missing frames axis
+        (3, 5, 48, 48, 5),         # cams axis != 4
+        (6, 4, 48, 32, 5),         # non-square images
+        (6, 4, 48, 48, 50),        # channels not < H
+    ],
+)
+def test_loader_rejects_contract_violations(tmp_path, shape):
+    box = np.zeros(shape, np.float32)
+    _, cm, pts, cz, cams = _contract_arrays(frames=6)
+    p = tmp_path / "bad.h5"
+    _write_custom(p, box, cm, pts, cz, cams.T)
+    with pytest.raises(ValueError, match="box"):
+        _roundtrip(p)
+
+
+def test_loader_rejects_bad_points_and_cams_and_cropzone(tmp_path):
+    box, cm, pts, cz, cams = _contract_arrays(frames=6)
+    p = tmp_path / "badpts.h5"
+    _write_custom(p, box, cm, np.zeros((5, 6, 10), np.float32), cz, cams.T)
+    with pytest.raises(ValueError, match="points_3D"):
+        _roundtrip(p)
+    # frame-count mismatch between box and points
+    _write_custom(p, box, cm, np.zeros((3, 9, 10), np.float32), cz, cams.T)
+    with pytest.raises(ValueError, match="points_3D"):
+        _roundtrip(p)
+    _write_custom(p, box, cm, pts, cz, np.zeros((3, 4), np.float32))
+    with pytest.raises(ValueError, match="cameras_dlt_array"):
+        _roundtrip(p)
+    _write_custom(p, box, cm, pts, np.zeros((6, 4), np.int32), cams.T)
+    with pytest.raises(ValueError, match="cropZone"):
+        _roundtrip(p)
+
+
+def test_canonical_points_layout_accepted(tmp_path):
+    box, cm, _, cz, cams = _contract_arrays(frames=6)
+    pts_canon = np.random.default_rng(2).random((6, 10, 3)).astype(np.float32)
+    p = tmp_path / "ptsc.h5"
+    _write_custom(p, box, cm, pts_canon, cz, cams.T)
+    np.testing.assert_array_equal(_roundtrip(p)["points_3D"], pts_canon)
