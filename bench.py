@@ -21,12 +21,22 @@ tens of ms) and throughput is the MARGINAL rate between two K values, which
 cancels fixed dispatch/fetch overhead. Host fetches are forced with
 ``np.asarray`` — ``block_until_ready`` can return early on remote backends.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+A second, driver-visible metric: full train-step throughput (gather ->
+on-device augmentation -> fwd -> bwd -> Adam, the whole jitted program) in
+frames/sec/chip, measured with the same single-dispatch ``lax.scan`` +
+marginal-rate methodology at batch 256 with full augmentation (the
+self-reported round-1 number this makes reproducible).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"train_step_throughput": {"value", "unit"}}.
+
+``--train`` / ``--infer`` run just one side (default: both).
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -34,9 +44,15 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# persistent compile cache: repeat bench runs skip the multi-minute
+# train-step compile (same cache the test suite uses)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
 BASELINE_FPS = 5000.0
 B = 1024
 K_SMALL, K_LARGE = 4, 20
+TRAIN_B = 256
+TRAIN_K_SMALL, TRAIN_K_LARGE = 2, 8
 
 
 def _marginal_fps(make_run, budget_s=420.0):
@@ -58,6 +74,65 @@ def _marginal_fps(make_run, budget_s=420.0):
         t_s = min(t_s, timed(r_small))
         t_l = min(t_l, timed(r_large))
     return (K_LARGE - K_SMALL) * B / max(t_l - t_s, 1e-9)
+
+
+def bench_train() -> float:
+    """Train-step frames/sec/chip: flagship model, batch 256, 192px, full
+    on-device augmentation (rotation +-15 deg, shifts, flips), MSE loss,
+    one Adam update per step. K steps chain inside ONE jitted lax.scan;
+    at K=8 the program runs ~2 s so per-dispatch overhead (<50 ms) is noise
+    and direct timing suffices — ONE compile, unlike the inference paths'
+    marginal-rate pairs (the train step is the expensive compile here)."""
+    from pose_estimation_amitai_tpu.config import Config
+    from pose_estimation_amitai_tpu.models import build_model
+    from pose_estimation_amitai_tpu.train.loop import (
+        create_train_state, make_train_step,
+    )
+
+    hw, in_ch, out_ch, n_data = 192, 4, 18, 2048
+    cfg = Config(
+        batch_size=TRAIN_B, do_augmentations=True, rotation_range=15.0,
+        xy_shifts=10.0, zoom_range=(0.9, 1.1), dropout_ratio=0.0,
+    )
+    model = build_model(cfg, (hw, hw, in_ch), out_ch)
+    rng = np.random.default_rng(0)
+    data = {
+        "box": jnp.asarray(rng.random((n_data, hw, hw, in_ch), np.float32)),
+        "peaks": jnp.asarray(
+            rng.uniform(20, hw - 20, (n_data, out_ch, 2)).astype(np.float32)
+        ),
+        "peak_vals": jnp.ones((n_data, out_ch), jnp.float32),
+    }
+    sample = {"image": jnp.zeros((TRAIN_B, hw, hw, in_ch), jnp.float32)}
+    state = create_train_state(model, cfg, sample)
+    train_step = make_train_step(model, cfg)
+
+    K = TRAIN_K_LARGE
+    idx_all = jnp.asarray(
+        rng.integers(0, n_data, (K, 1, TRAIN_B)).astype(np.int32)
+    )
+
+    @jax.jit
+    def run(state, data, idx_all):
+        def body(st, idx):
+            st, loss = train_step(st, data, idx, 1.0)
+            return st, loss
+
+        _, losses = jax.lax.scan(body, state, idx_all)
+        return losses
+
+    t0 = time.perf_counter()
+    np.asarray(run(state, data, idx_all))  # compile + warm
+    print(f"[bench] train-step compile+warm {time.perf_counter() - t0:.0f}s",
+          file=sys.stderr, flush=True)
+
+    def timed():
+        t0 = time.perf_counter()
+        np.asarray(run(state, data, idx_all))
+        return time.perf_counter() - t0
+
+    t = min(timed() for _ in range(3))
+    return K * TRAIN_B / t
 
 
 def main() -> None:
@@ -135,17 +210,34 @@ def main() -> None:
             raise
 
     fps = max(results.values())
-    print(
-        json.dumps(
-            {
-                "metric": "heatmap_inference_throughput",
-                "value": round(fps, 1),
+    out = {
+        "metric": "heatmap_inference_throughput",
+        "value": round(fps, 1),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }
+    if "--infer" not in sys.argv:
+        try:
+            out["train_step_throughput"] = {
+                "value": round(bench_train(), 1),
                 "unit": "frames/sec/chip",
-                "vs_baseline": round(fps / BASELINE_FPS, 3),
             }
-        )
-    )
+        except Exception as e:  # train bench must never sink the headline
+            out["train_step_throughput"] = {"error": repr(e)[:200]}
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    if "--train" in sys.argv:
+        fps = bench_train()
+        print(
+            json.dumps(
+                {
+                    "metric": "train_step_throughput",
+                    "value": round(fps, 1),
+                    "unit": "frames/sec/chip",
+                }
+            )
+        )
+    else:
+        main()

@@ -6,9 +6,12 @@ PyTorch stacks (``patch size`` vs ``patch_size``), reference:
 tensorflow/train_config.json, pytorch/train_config.json.
 """
 
+import pytest
 import json
 
 from pose_estimation_amitai_tpu.config import Config
+
+pytestmark = pytest.mark.quick  # gate-style subset: python -m pytest -m quick
 
 REFERENCE_DIALECT = {
     "// training //": 0,

@@ -2,6 +2,7 @@
 pytorch/preprocessor.py:271-346 — score all 8 flip combinations of cameras
 1-3 by multi-view reprojection error, pick the best)."""
 
+import pytest
 import numpy as np
 
 from pose_estimation_amitai_tpu import constants as C
@@ -11,6 +12,8 @@ from pose_estimation_amitai_tpu.data.preprocess import (
     find_peaks_np,
 )
 from pose_estimation_amitai_tpu.data.synthetic import make_synthetic_arrays
+
+pytestmark = pytest.mark.quick  # gate-style subset: python -m pytest -m quick
 
 
 def _gt_points_2d(arrays):

@@ -12,6 +12,8 @@ from pose_estimation_amitai_tpu.data.synthetic import (
     make_synthetic_arrays, write_synthetic_h5,
 )
 
+pytestmark = pytest.mark.quick  # gate-style subset: python -m pytest -m quick
+
 
 def _roundtrip(path):
     return Preprocessor._load_h5(str(path))

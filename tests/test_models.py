@@ -15,6 +15,8 @@ from pose_estimation_amitai_tpu import constants as C
 from pose_estimation_amitai_tpu.config import Config
 from pose_estimation_amitai_tpu.models import build_model, needs_camera_matrices
 
+pytestmark = pytest.mark.quick  # gate-style subset: python -m pytest -m quick
+
 HW = 48
 SMALL = dict(num_base_filters=8, projection_dim=32, transformer_layers=1,
              num_heads=2, patch_size=16, fully_connected_expand=2)

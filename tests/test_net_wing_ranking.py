@@ -19,6 +19,8 @@ from pose_estimation_amitai_tpu.data.preprocess import Preprocessor
 from pose_estimation_amitai_tpu.data.synthetic import make_synthetic_arrays
 from pose_estimation_amitai_tpu.ops import morphology
 
+pytestmark = pytest.mark.quick  # gate-style subset: python -m pytest -m quick
+
 
 def test_body_masks_matches_scipy_reference(rng):
     """ops.morphology.body_masks == threshold + disk dilation then erosion

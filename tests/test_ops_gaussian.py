@@ -1,6 +1,7 @@
 """Gaussian confmap synthesis vs the NumPy reference formula
 (tensorflow/simple_data_generator.py:119-136)."""
 
+import pytest
 import numpy as np
 
 import jax.numpy as jnp
@@ -10,6 +11,8 @@ from pose_estimation_amitai_tpu.ops.gaussian import (
     ensure_sigma,
     gaussian_confmap,
 )
+
+pytestmark = pytest.mark.quick  # gate-style subset: python -m pytest -m quick
 
 
 def _np_gaussian(h, w, cx, cy, sigma):

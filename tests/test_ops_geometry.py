@@ -1,9 +1,12 @@
 """Camera geometry ops vs NumPy references and round-trip identities."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
 from pose_estimation_amitai_tpu.ops import geometry as G
+
+pytestmark = pytest.mark.quick  # gate-style subset: python -m pytest -m quick
 
 
 def _synthetic_camera(rng, idx=0):

@@ -1,10 +1,13 @@
 """Morphology ops vs scipy.ndimage references."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 from scipy import ndimage
 
 from pose_estimation_amitai_tpu.ops import morphology as M
+
+pytestmark = pytest.mark.quick  # gate-style subset: python -m pytest -m quick
 
 
 def _rand_mask(rng, shape=(24, 24), p=0.3):

@@ -1,10 +1,13 @@
 """Peak decoding ops vs NumPy references."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from pose_estimation_amitai_tpu.ops import gaussian, peaks
+
+pytestmark = pytest.mark.quick  # gate-style subset: python -m pytest -m quick
 
 
 def _numpy_find_peaks(x):

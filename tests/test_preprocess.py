@@ -8,6 +8,8 @@ from pose_estimation_amitai_tpu.config import Config
 from pose_estimation_amitai_tpu.data.preprocess import Preprocessor
 from pose_estimation_amitai_tpu.data.synthetic import make_synthetic_arrays
 
+pytestmark = pytest.mark.quick  # gate-style subset: python -m pytest -m quick
+
 
 @pytest.fixture(scope="module")
 def arrays():
