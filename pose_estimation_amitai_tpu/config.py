@@ -77,6 +77,7 @@ _ALIASES: dict[str, tuple[str, ...]] = {
     "reduce_lr_min_lr": ("reduce_lr_min_lr",),
     "save_every_epoch": ("save_every_epoch",),
     # TPU-rebuild-only knobs (absent from the reference dialect).
+    "checkpoint_every": ("checkpoint_every",),
     "compute_dtype": ("compute_dtype",),
     "arch_flavor": ("arch_flavor",),
     "mesh_shape": ("mesh_shape",),
@@ -158,6 +159,11 @@ class Config:
     reduce_lr_min_lr: float = 1e-10
     save_every_epoch: bool = False
     # --- TPU rebuild extensions ---
+    # resume-checkpoint cadence in epochs (1 = reference parity: the every-
+    # epoch checkpoint.pth, pytorch/train_pytorch.py:253-260; raise it for
+    # short-epoch regimes where the ~per-epoch params serialisation
+    # dominates wall time — best-on-val checkpoints are unaffected)
+    checkpoint_every: int = 1
     compute_dtype: str = "bfloat16"  # bf16 compute / f32 params (no AMP scaler)
     arch_flavor: str = "torch"  # 'torch' | 'tf': pins LeakyReLU alpha + skips
     mesh_shape: tuple[int, ...] = ()  # () => 1-D data mesh over all devices

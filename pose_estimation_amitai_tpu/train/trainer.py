@@ -266,10 +266,11 @@ class Trainer:
                     ),
                     self.state.params,
                 )
-            ckpt.save_checkpoint(
-                self.run_path, self.state, epoch, val_loss,
-                scheduler_state=self.scheduler.state_dict(),
-            )
+            if (epoch + 1) % max(1, cfg.checkpoint_every) == 0:
+                ckpt.save_checkpoint(
+                    self.run_path, self.state, epoch, val_loss,
+                    scheduler_state=self.scheduler.state_dict(),
+                )
 
             self._save_epoch_artifacts(
                 epoch, train_losses, val_losses, l2_means, l2_stds, l2_max,
@@ -377,9 +378,15 @@ class Trainer:
         except Exception:
             pass
         # heavy matplotlib artifacts every viz_every epochs (always on the
-        # final epoch); the CSV/MAT metrics above are written every epoch
-        every = max(1, int(self.cfg.viz_every))
-        if (epoch + 1) % every and (epoch + 1) != self.cfg.epochs:
+        # final epoch; <= 0 = final epoch only — each PNG pass costs
+        # seconds, which dominates short-epoch regimes); the CSV/MAT
+        # metrics above are written every epoch
+        every = int(self.cfg.viz_every)
+        is_final = (epoch + 1) == self.cfg.epochs
+        if every <= 0:
+            if not is_final:
+                return
+        elif (epoch + 1) % every and not is_final:
             return
         viz.plot_history(
             train_losses, val_losses, os.path.join(rp, "loss_graph.png"),

@@ -120,3 +120,43 @@ def test_trainer_with_host_resident_dataset(tmp_path):
     assert np.isfinite(hist["val_loss"]).all()
     run = tr.run_path
     assert os.path.exists(os.path.join(run, "losses.csv"))
+
+
+def test_checkpoint_every_and_viz_gating(tmp_path, arrays):
+    """checkpoint_every throttles the resume checkpoint; viz_every <= 0
+    writes heavy PNGs on the final epoch only (CSV/MAT stay per-epoch)."""
+    trainer = Trainer(
+        _cfg(tmp_path, epochs=3, batches_per_epoch=1, checkpoint_every=2,
+             viz_every=0),
+        arrays=arrays,
+    )
+    import unittest.mock as mock
+
+    from pose_estimation_amitai_tpu.train import checkpoint as ckpt
+
+    calls = []
+    real = ckpt.save_checkpoint
+
+    def spy(run_path, state, epoch, val_loss, scheduler_state=None,
+            best=False):
+        calls.append((epoch, best))
+        return real(run_path, state, epoch, val_loss,
+                    scheduler_state=scheduler_state, best=best)
+
+    with mock.patch.object(
+        __import__("pose_estimation_amitai_tpu.train.trainer",
+                   fromlist=["ckpt"]).ckpt,
+        "save_checkpoint", spy,
+    ):
+        trainer.train()
+    # resume checkpoints only after epochs 2 (epoch idx 1): (1, False);
+    # epoch 3 is odd -> skipped
+    resume_epochs = [e for e, best in calls if not best]
+    assert resume_epochs == [1], calls
+    rp = trainer.run_path
+    # heavy PNGs exist only for the final epoch
+    hists = os.listdir(os.path.join(rp, "l2_histograms"))
+    assert hists == ["validation_epoch_3.png"], hists
+    # per-epoch CSV rows all present
+    with open(os.path.join(rp, "losses.csv")) as f:
+        assert len(f.readlines()) == 4  # header + 3 epochs
