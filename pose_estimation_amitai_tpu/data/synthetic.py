@@ -70,6 +70,14 @@ def make_synthetic_arrays(
     num_time_channels: int = 3,
     sigma: float = 3.0,
     seed: int = 0,
+    wing_spread: float = 0.004,  # half-extent of each wing's 3D point cloud
+    feature_amp: float = 1.0,  # per-keypoint visual feature amplitude scale
+    motion: str = "iid",  # "iid": independent pose per frame; "movie":
+    # smooth wingbeat trajectory (consecutive frames correlate like real
+    # high-speed video — the structure the reference's debug regime
+    # actually trains on: 10 CONSECUTIVE movie frames, 50/50 split)
+    stroke_period: float = 20.0,  # frames per wingbeat cycle ("movie")
+    stroke_amp: float = 0.6,  # stroke half-amplitude, radians ("movie")
 ) -> dict[str, np.ndarray]:
     """Build the five H5-contract arrays.
 
@@ -95,14 +103,49 @@ def make_synthetic_arrays(
     cropzone = np.zeros((num_frames, NUM_CAMERAS, 2), np.int32)
 
     half = num_points // 2
+    # "movie" mode: one fly with a FIXED wing shape whose pose evolves
+    # smoothly — body drifts linearly, each wing rotates about its hinge
+    # (the body x-axis) with a sinusoidal stroke. Frame-to-frame keypoint
+    # motion is then a few px, matching consecutive high-speed-video frames.
+    body0 = rng.uniform(-0.002, 0.002, 3)
+    drift = rng.uniform(-0.0002, 0.0002, 3)
+    wing_shape = [
+        rng.uniform(-wing_spread, wing_spread, (half, 3)) for _ in range(2)
+    ]
+    stroke_phase = rng.uniform(0, 2 * np.pi)
     for f in range(num_frames):
-        # a fly: body at origin-ish, two wings as 3D point clusters
-        body = rng.uniform(-0.002, 0.002, 3)
-        wing_pts = []
-        for side in (-1, 1):
-            base = body + np.array([0.0, side * 0.006, 0.0])
-            pts = base + rng.uniform(-0.004, 0.004, (half, 3))
-            wing_pts.append(pts)
+        if motion == "movie":
+            body = body0 + drift * f
+            theta = stroke_amp * np.sin(
+                2 * np.pi * f / stroke_period + stroke_phase
+            )
+            wing_pts = []
+            for si, side in enumerate((-1, 1)):
+                hinge = body + np.array([0.0, side * 0.002, 0.0])
+                local = wing_shape[si] + np.array(
+                    [0.0, side * wing_spread, 0.0]
+                )
+                c_, s_ = np.cos(theta), np.sin(theta)
+                rot = np.stack(
+                    [
+                        local[:, 0],
+                        local[:, 1] * c_ - local[:, 2] * s_,
+                        local[:, 1] * s_ + local[:, 2] * c_,
+                    ],
+                    axis=1,
+                )
+                wing_pts.append(hinge + rot)
+        else:
+            # a fly: body at origin-ish, two wings as 3D point clusters,
+            # an independent random pose per frame
+            body = rng.uniform(-0.002, 0.002, 3)
+            wing_pts = []
+            for side in (-1, 1):
+                base = body + np.array(
+                    [0.0, side * (0.002 + wing_spread), 0.0]
+                )
+                pts = base + rng.uniform(-wing_spread, wing_spread, (half, 3))
+                wing_pts.append(pts)
         head = body + np.array([0.008, 0.0, 0.0])
         tail = body - np.array([0.008, 0.0, 0.0])
         pts3d = np.concatenate([wing_pts[0], wing_pts[1], [head], [tail]])
@@ -139,7 +182,7 @@ def make_synthetic_arrays(
                     # distinct per-keypoint intensity + size: real wing
                     # features are visually distinguishable; identical dots
                     # would make keypoint identity unlearnable
-                    amp = 0.45 + 0.5 * (p + 1) / n_all
+                    amp = (0.45 + 0.5 * (p + 1) / n_all) * feature_amp
                     sig = 1.2 + 0.8 * (p % 4) / 3.0
                     blob += amp * _gaussian(
                         h, w, y_local[p] + jitter * 0.3,
@@ -152,8 +195,20 @@ def make_synthetic_arrays(
                 wy, wx = np.mean(y_local[sl]), np.mean(x_local[sl])
                 ry = max(np.ptp(y_local[sl]) / 2 + 8, 10)
                 rx = max(np.ptp(x_local[sl]) / 2 + 8, 10)
+                if motion == "movie":
+                    # smooth mask orientation: principal axis of the
+                    # projected wing points (a per-frame random angle would
+                    # make consecutive movie frames' masks jump)
+                    dy = y_local[sl] - wy
+                    dx = x_local[sl] - wx
+                    ang = 0.5 * np.arctan2(
+                        2.0 * float(np.sum(dx * dy)),
+                        float(np.sum(dx * dx) - np.sum(dy * dy)),
+                    )
+                else:
+                    ang = rng.uniform(0, np.pi)
                 box[f, c, :, :, num_time_channels + wi] = _ellipse_mask(
-                    h, w, wy, wx, ry, rx, rng.uniform(0, np.pi)
+                    h, w, wy, wx, ry, rx, ang
                 )
 
     return {

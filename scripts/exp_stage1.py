@@ -64,7 +64,9 @@ def scan_program(step):
         @jax.jit
         def run(x):
             def body(c, i):
-                y = step(x * (1 + i.astype(x.dtype) * 0))
+                # real i-dependence (bench.py methodology) or XLA hoists
+                # the loop-invariant step out of the scan entirely
+                y = step(x + (i % 2).astype(jnp.int8))
                 return c, jnp.sum(y.astype(jnp.float32))
 
             _, out = jax.lax.scan(body, 0, jnp.arange(K))

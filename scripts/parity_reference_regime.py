@@ -133,15 +133,26 @@ def run(epochs: int | None, out_dir: str | None, arch_flavor: str = "torch"):
 
     # 32 wing points + head/tail => per-wing samples carry 18 channels,
     # matching the flagship's 18 output heatmaps; debug mode truncates the
-    # 14 generated frames to the reference's 10. Cached: generation costs
-    # ~3 min of host-side Gaussian rendering per process.
-    cache = pathlib.Path(tempfile.gettempdir()) / "parity_arrays_f14_p32.npz"
+    # 14 generated frames to the reference's 10. motion="movie" is the
+    # load-bearing choice: the reference's debug regime trains on 10
+    # CONSECUTIVE high-speed-video frames with a 50/50 random split, so
+    # val frames are near-duplicates of train frames bracketing them in
+    # the wingbeat — that temporal correlation is what makes 3.44 px
+    # reachable from ~20 training samples. IID per-frame poses (the
+    # generator default) make the same regime a 20-shot generalisation
+    # problem instead: the model collapses to background prediction
+    # (val MSE ~7.4e-4 = the all-zeros MSE) and the plateau scheduler
+    # freezes the LR. Cached: generation costs ~3 min per process.
+    cache = (
+        pathlib.Path(tempfile.gettempdir()) / "parity_arrays_f14_p32_v3.npz"
+    )
     if cache.exists():
         with np.load(cache) as z:
             arrays = {k: z[k] for k in z.files}
     else:
         arrays = make_synthetic_arrays(
-            num_frames=14, num_points=32, image_size=192, seed=1
+            num_frames=14, num_points=32, image_size=192, seed=1,
+            wing_spread=0.008, feature_amp=1.3, motion="movie",
         )
         np.savez(cache, **arrays)
     t0 = time.time()
