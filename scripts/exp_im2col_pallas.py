@@ -12,9 +12,25 @@ kernel anyway (the ceiling argument deserves a direct datapoint).
 
 Kernel: grid over batch; the frame is staged once into a zero-padded
 VMEM scratch (SAME border = zero taps); an in-kernel fori_loop walks
-16-row tiles; per tile, 9 shifted copies build the (R, WP, 576) im2col
-scratch, one (R*WP, 576) x (576, 64) int8 dot hits the MXU, and the
+16-row tiles; per tile, the 9 shifted windows are lane-concatenated
+into the (R*WP, 576) im2col matrix (int8 min tile is (32,128), so
+writing 64-lane slices of a 576-lane scratch would be lane-misaligned
+— concatenate keeps Mosaic on aligned values), one
+(R*WP, 576) x (576, 64) int8 dot hits the MXU, and the
 dequant+bias+LeakyReLU+requant epilogue writes int8 out.
+
+Axon-environment compile constraints found while building this
+(documented because they bound what the kernel may look like here):
+- Mosaic rejects int8 vector arithmetic ("Only vector<i16> and
+  vector<i32> are supported") — int8 is load/store/dot only.
+- The remote compile helper hard-crashes (HTTP 500, no diagnostic) for
+  this kernel at grid >= 16 with VMEM-blockspec'd frame I/O (grid <= 12
+  compiles and runs), consistent with double-buffered 2.36 MB in/out
+  blocks + 3.7 MB xpad + ~6 MB im2col temporaries exceeding 16 MB VMEM.
+- Rewriting frame I/O as manual HBM DMAs (memory_space=ANY +
+  make_async_copy) with an in-kernel frame loop also crashes the
+  helper, even at tiny batch — so the measurement below uses the
+  blockspec form at B=8, with a longer scan to amortize timing noise.
 
 Run on the real chip: python scripts/exp_im2col_pallas.py
 """
@@ -38,17 +54,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
-B = 256
+B = 8  # grid <= 12 is the axon compile-helper ceiling for this kernel
 HW = 192
 C = 64
 D = 2  # dilation
 R = 16  # row tile
 COL0 = 32  # 32-aligned col origin of the true image in the padded scratch
 WP = 224  # read window width (192 + 4*D, 32-mult)
-K_SMALL, K_LARGE = 2, 10
+K_SMALL, K_LARGE = 4, 52
 
 
-def _im2col_conv_kernel(x_ref, w_ref, m_ref, b_ref, o_ref, xpad, a_scr, *,
+def _im2col_conv_kernel(x_ref, w_ref, m_ref, b_ref, o_ref, xpad, *,
                         alpha, inv_out):
     h = w = HW
     n_tiles = h // R
@@ -59,13 +75,17 @@ def _im2col_conv_kernel(x_ref, w_ref, m_ref, b_ref, o_ref, xpad, a_scr, *,
 
     def tile_body(t, _):
         r0 = t * R
+        taps = []
         for tap in range(9):
             ky, kx = divmod(tap, 3)
-            a_scr[:, :, tap * C : (tap + 1) * C] = xpad[
-                pl.ds(r0 + ky * D, R), COL0 - D + kx * D : COL0 - D + kx * D + WP, :
-            ]
+            taps.append(
+                xpad[
+                    pl.ds(r0 + ky * D, R),
+                    COL0 - D + kx * D : COL0 - D + kx * D + WP, :
+                ].reshape(R * WP, C)
+            )
         acc = jnp.dot(
-            a_scr[:].reshape(R * WP, 9 * C), w_ref[:],
+            jnp.concatenate(taps, axis=1), w_ref[:],
             preferred_element_type=jnp.int32,
         )
         y = acc.astype(jnp.float32) * m_ref[:] + b_ref[:]
@@ -79,12 +99,9 @@ def _im2col_conv_kernel(x_ref, w_ref, m_ref, b_ref, o_ref, xpad, a_scr, *,
 
 def make_pallas_conv(w, mult, bias, alpha=0.1, inv_out=64.0):
     """w: (3,3,C,C) int8 -> fn(x_int8 (B,H,W,C)) -> int8."""
-    w_packed = jnp.asarray(
-        np.transpose(np.asarray(w), (0, 1, 2, 3)).reshape(9 * C, C)
-    )
+    w_packed = jnp.asarray(np.asarray(w).reshape(9 * C, C))
     kernel = functools.partial(
-        _im2col_conv_kernel, alpha=jnp.float32(alpha),
-        inv_out=jnp.float32(inv_out),
+        _im2col_conv_kernel, alpha=float(alpha), inv_out=float(inv_out)
     )
     wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -100,7 +117,6 @@ def make_pallas_conv(w, mult, bias, alpha=0.1, inv_out=64.0):
         out_shape=jax.ShapeDtypeStruct((B, HW, HW, C), jnp.int8),
         scratch_shapes=[
             pltpu.VMEM((HW + 2 * D + 4, COL0 + WP + 32, C), jnp.int8),
-            pltpu.VMEM((R, WP, 9 * C), jnp.int8),
         ],
     ), w_packed
 
@@ -126,8 +142,8 @@ def marginal_us_per_frame(make_run):
         np.asarray(fn())
         return time.perf_counter() - t0
 
-    t_s = min(timed(r_s) for _ in range(3))
-    t_l = min(timed(r_l) for _ in range(3))
+    t_s = min(timed(r_s) for _ in range(5))
+    t_l = min(timed(r_l) for _ in range(5))
     frames = (K_LARGE - K_SMALL) * B
     return (t_l - t_s) / frames * 1e6
 
@@ -173,7 +189,7 @@ def main():
           file=sys.stderr, flush=True)
 
     macs = HW * HW * 9 * C * C
-    results = {"exact": bool(exact), "maxdiff": maxdiff}
+    results = {"exact": bool(exact), "maxdiff": maxdiff, "batch": B}
     for name, fn in (
         ("xla_conv_epilogue", lambda xx: xla_conv(xx, w, mult, bias)),
         ("pallas_im2col", lambda xx: pallas_fn(xx, w_packed, mult, bias)),
