@@ -107,12 +107,17 @@ def make_synthetic_arrays(
     # smoothly — body drifts linearly, each wing rotates about its hinge
     # (the body x-axis) with a sinusoidal stroke. Frame-to-frame keypoint
     # motion is then a few px, matching consecutive high-speed-video frames.
-    body0 = rng.uniform(-0.002, 0.002, 3)
-    drift = rng.uniform(-0.0002, 0.0002, 3)
-    wing_shape = [
-        rng.uniform(-wing_spread, wing_spread, (half, 3)) for _ in range(2)
-    ]
-    stroke_phase = rng.uniform(0, 2 * np.pi)
+    # These draws are gated on the mode so iid-mode callers keep a stable
+    # RNG stream per seed (consuming them unconditionally shifts every
+    # downstream draw and changes the default dataset under callers' feet).
+    if motion == "movie":
+        body0 = rng.uniform(-0.002, 0.002, 3)
+        drift = rng.uniform(-0.0002, 0.0002, 3)
+        wing_shape = [
+            rng.uniform(-wing_spread, wing_spread, (half, 3))
+            for _ in range(2)
+        ]
+        stroke_phase = rng.uniform(0, 2 * np.pi)
     for f in range(num_frames):
         if motion == "movie":
             body = body0 + drift * f
