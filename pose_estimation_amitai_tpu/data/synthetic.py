@@ -78,6 +78,12 @@ def make_synthetic_arrays(
     # actually trains on: 10 CONSECUTIVE movie frames, 50/50 split)
     stroke_period: float = 20.0,  # frames per wingbeat cycle ("movie")
     stroke_amp: float = 0.6,  # stroke half-amplitude, radians ("movie")
+    layout: str = "cloud",  # "cloud": uniform random wing point cloud;
+    # "outline": ordered landmarks along the wing's elliptical planform
+    # boundary — keypoint identity is then geometric position along a
+    # smooth curve, like the reference's real wing annotations (ordered
+    # leading/trailing-edge points), instead of a ~3%-amplitude contrast
+    # between overlapping speckles that no model can resolve quickly
 ) -> dict[str, np.ndarray]:
     """Build the five H5-contract arrays.
 
@@ -103,6 +109,28 @@ def make_synthetic_arrays(
     cropzone = np.zeros((num_frames, NUM_CAMERAS, 2), np.int32)
 
     half = num_points // 2
+
+    def _outline_shape(side):
+        """Ordered landmarks on the wing planform boundary (local frame).
+
+        The wing is an elongated ellipse extending from the hinge (y=0)
+        outward to ``2*wing_spread``; landmark p sits at boundary angle
+        2*pi*p/half, so adjacent indices are spatial neighbours — the
+        identity structure real annotated wings have. A small out-of-plane
+        z term keeps the stroke rotation visible and the points
+        non-coplanar. Returned centred like the cloud layout (the caller
+        adds the [0, side*wing_spread, 0] offset).
+        """
+        phi = 2.0 * np.pi * np.arange(half) / half
+        return np.stack(
+            [
+                0.4 * wing_spread * np.cos(phi),
+                side * wing_spread * np.sin(phi),
+                0.15 * wing_spread * np.sin(2.0 * phi),
+            ],
+            axis=1,
+        )
+
     # "movie" mode: one fly with a FIXED wing shape whose pose evolves
     # smoothly — body drifts linearly, each wing rotates about its hinge
     # (the body x-axis) with a sinusoidal stroke. Frame-to-frame keypoint
@@ -113,10 +141,13 @@ def make_synthetic_arrays(
     if motion == "movie":
         body0 = rng.uniform(-0.002, 0.002, 3)
         drift = rng.uniform(-0.0002, 0.0002, 3)
-        wing_shape = [
-            rng.uniform(-wing_spread, wing_spread, (half, 3))
-            for _ in range(2)
-        ]
+        if layout == "outline":
+            wing_shape = [_outline_shape(side) for side in (-1, 1)]
+        else:
+            wing_shape = [
+                rng.uniform(-wing_spread, wing_spread, (half, 3))
+                for _ in range(2)
+            ]
         stroke_phase = rng.uniform(0, 2 * np.pi)
     for f in range(num_frames):
         if motion == "movie":
@@ -149,7 +180,24 @@ def make_synthetic_arrays(
                 base = body + np.array(
                     [0.0, side * (0.002 + wing_spread), 0.0]
                 )
-                pts = base + rng.uniform(-wing_spread, wing_spread, (half, 3))
+                if layout == "outline":
+                    # fixed planform at an independent random stroke angle
+                    # per frame per wing
+                    th = rng.uniform(-stroke_amp, stroke_amp)
+                    sh = _outline_shape(side)
+                    c_, s_ = np.cos(th), np.sin(th)
+                    pts = base + np.stack(
+                        [
+                            sh[:, 0],
+                            sh[:, 1] * c_ - sh[:, 2] * s_,
+                            sh[:, 1] * s_ + sh[:, 2] * c_,
+                        ],
+                        axis=1,
+                    )
+                else:
+                    pts = base + rng.uniform(
+                        -wing_spread, wing_spread, (half, 3)
+                    )
                 wing_pts.append(pts)
         head = body + np.array([0.008, 0.0, 0.0])
         tail = body - np.array([0.008, 0.0, 0.0])
@@ -180,6 +228,26 @@ def make_synthetic_arrays(
             # regression task would be unlearnable by construction)
             body_y = np.mean(y_local)
             body_x = np.mean(x_local)
+            # wing ellipse params (masks + outline-mode membranes)
+            wing_ell = []
+            for wi in range(2):
+                sl = slice(wi * half, (wi + 1) * half)
+                wy, wx = np.mean(y_local[sl]), np.mean(x_local[sl])
+                ry = max(np.ptp(y_local[sl]) / 2 + 8, 10)
+                rx = max(np.ptp(x_local[sl]) / 2 + 8, 10)
+                if motion == "movie" or layout == "outline":
+                    # smooth mask orientation: principal axis of the
+                    # projected wing points (a per-frame random angle would
+                    # make consecutive movie frames' masks jump)
+                    dy = y_local[sl] - wy
+                    dx = x_local[sl] - wx
+                    ang = 0.5 * np.arctan2(
+                        2.0 * float(np.sum(dx * dy)),
+                        float(np.sum(dx * dx) - np.sum(dy * dy)),
+                    )
+                else:
+                    ang = rng.uniform(0, np.pi)
+                wing_ell.append((wy, wx, ry, rx, ang))
             for t in range(num_time_channels):
                 jitter = (t - num_time_channels // 2) * 1.5
                 blob = 0.5 * _gaussian(h, w, body_y + jitter, body_x + jitter, 14.0)
@@ -194,27 +262,24 @@ def make_synthetic_arrays(
                         x_local[p] + jitter * 0.3, sig,
                     )
                 box[f, c, :, :, t] = np.clip(blob, 0, 1)
-            # wing masks: ellipses covering each wing's peaks
+            # wing masks: ellipses covering each wing's peaks; outline
+            # wings are elongated, so the fitted ellipse alone under-covers
+            # the boundary landmarks — union in a disk around every
+            # landmark (real segmentation masks cover the annotated points
+            # by construction; split_per_wing pairing relies on it)
             for wi in range(2):
-                sl = slice(wi * half, (wi + 1) * half)
-                wy, wx = np.mean(y_local[sl]), np.mean(x_local[sl])
-                ry = max(np.ptp(y_local[sl]) / 2 + 8, 10)
-                rx = max(np.ptp(x_local[sl]) / 2 + 8, 10)
-                if motion == "movie":
-                    # smooth mask orientation: principal axis of the
-                    # projected wing points (a per-frame random angle would
-                    # make consecutive movie frames' masks jump)
-                    dy = y_local[sl] - wy
-                    dx = x_local[sl] - wx
-                    ang = 0.5 * np.arctan2(
-                        2.0 * float(np.sum(dx * dy)),
-                        float(np.sum(dx * dx) - np.sum(dy * dy)),
-                    )
-                else:
-                    ang = rng.uniform(0, np.pi)
-                box[f, c, :, :, num_time_channels + wi] = _ellipse_mask(
-                    h, w, wy, wx, ry, rx, ang
-                )
+                wy, wx, ry, rx, ang = wing_ell[wi]
+                m = _ellipse_mask(h, w, wy, wx, ry, rx, ang)
+                if layout == "outline":
+                    sl = slice(wi * half, (wi + 1) * half)
+                    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+                    for py, px in zip(y_local[sl], x_local[sl]):
+                        m = np.maximum(
+                            m,
+                            ((ys - py) ** 2 + (xs - px) ** 2
+                             <= 12.0**2).astype(np.float32),
+                        )
+                box[f, c, :, :, num_time_channels + wi] = m
 
     return {
         "box": box,

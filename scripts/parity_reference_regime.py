@@ -143,8 +143,15 @@ def run(epochs: int | None, out_dir: str | None, arch_flavor: str = "torch"):
     # problem instead: the model collapses to background prediction
     # (val MSE ~7.4e-4 = the all-zeros MSE) and the plateau scheduler
     # freezes the LR. Cached: generation costs ~3 min per process.
+    # layout="outline" is equally load-bearing: real annotations are ORDERED
+    # landmarks along the wing planform boundary, so keypoint identity is
+    # geometric position on a smooth curve. The original random-cloud wings
+    # made identity a ~3%-amplitude contrast between overlapping speckles —
+    # measured unlearnable in this regime (train loss pinned at the
+    # all-zeros MSE for 300 epochs at constant lr; outline data descends
+    # from epoch ~30 under the reference's own plateau schedule).
     cache = (
-        pathlib.Path(tempfile.gettempdir()) / "parity_arrays_f14_p32_v3.npz"
+        pathlib.Path(tempfile.gettempdir()) / "parity_arrays_outline_v4.npz"
     )
     if cache.exists():
         with np.load(cache) as z:
@@ -153,6 +160,7 @@ def run(epochs: int | None, out_dir: str | None, arch_flavor: str = "torch"):
         arrays = make_synthetic_arrays(
             num_frames=14, num_points=32, image_size=192, seed=1,
             wing_spread=0.008, feature_amp=1.3, motion="movie",
+            layout="outline",
         )
         np.savez(cache, **arrays)
     t0 = time.time()
