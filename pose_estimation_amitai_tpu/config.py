@@ -92,6 +92,7 @@ _ALIASES: dict[str, tuple[str, ...]] = {
     "distributed": ("distributed",),
     "eval_decode": ("eval_decode",),
     "viz_every": ("viz_every",),
+    "head_zero_init": ("head_zero_init",),
 }
 
 
@@ -182,6 +183,11 @@ class Config:
     # heavy PNG artifacts (histograms, overlays, curves) every N epochs;
     # 1 = reference parity (every epoch). CSV/MAT metrics are always written.
     viz_every: int = 1
+    # zero-init the final heatmap layer so training starts from the exact
+    # all-zeros prediction (train/loop.py zero_output_head) — faster plateau
+    # escape under aggressive LR schedules; off by default (reference-style
+    # library init)
+    head_zero_init: bool = False
 
     raw: dict[str, Any] = field(default_factory=dict, repr=False, compare=False)
 

@@ -255,7 +255,15 @@ def make_synthetic_arrays(
                     # distinct per-keypoint intensity + size: real wing
                     # features are visually distinguishable; identical dots
                     # would make keypoint identity unlearnable
-                    amp = (0.45 + 0.5 * (p + 1) / n_all) * feature_amp
+                    if layout == "outline":
+                        # cycle the amplitude ramp with stride 7 (coprime to
+                        # any half) so spatially ADJACENT boundary landmarks
+                        # get maximally different intensities — neighbour
+                        # identity is the error mode that costs decode px
+                        amp = (0.45 + 0.5 * ((p * 7) % n_all + 1) / n_all
+                               ) * feature_amp
+                    else:
+                        amp = (0.45 + 0.5 * (p + 1) / n_all) * feature_amp
                     sig = 1.2 + 0.8 * (p % 4) / 3.0
                     blob += amp * _gaussian(
                         h, w, y_local[p] + jitter * 0.3,

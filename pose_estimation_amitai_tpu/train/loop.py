@@ -59,6 +59,8 @@ def create_train_state(
         train=False,
     )
     params = variables["params"]
+    if cfg.head_zero_init:
+        params = zero_output_head(params)
     batch_stats = variables.get("batch_stats", {})
     tx = create_optimizer(cfg)
     return TrainState(
@@ -68,6 +70,36 @@ def create_train_state(
         batch_stats=batch_stats,
         rng=state_rng,
     )
+
+
+_HEAD_LAYER_NAMES = ("deconv4", "head_deconv")
+
+
+def zero_output_head(params):
+    """Zero the final heatmap layer's kernel+bias wherever it appears.
+
+    Standard heatmap-regression practice: with a zeroed output head the
+    model starts at exactly the all-zeros prediction (loss = background
+    MSE) instead of decoder-noise outputs ~5x the target scale, so the
+    early epochs do blob formation rather than output-scale shrinking —
+    measurably faster escape under plateau LR schedules. Applied by name
+    to every DecoderUp head in the tree (models/layers.py: 'deconv4' is
+    the torch-flavour head, 'head_deconv' the tf-flavour one), so it
+    covers shared-decoder multicam models too.
+    """
+
+    def rec(tree):
+        out = {}
+        for name, sub in tree.items():
+            if name in _HEAD_LAYER_NAMES and isinstance(sub, dict):
+                out[name] = jax.tree.map(jnp.zeros_like, sub)
+            elif isinstance(sub, dict):
+                out[name] = rec(sub)
+            else:
+                out[name] = sub
+        return out
+
+    return rec(params)
 
 
 def _model_args(batch: dict[str, jax.Array]) -> tuple:

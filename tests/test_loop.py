@@ -76,3 +76,33 @@ def test_train_step_reproducible():
     state2, _ = step(state, data, idx, 1.0)
     _, loss_c = step(state2, data, idx, 1.0)
     assert float(loss_c) != float(loss_a)
+
+
+def test_head_zero_init_starts_at_all_zeros_prediction():
+    """head_zero_init: initial forward emits exactly zeros (loss = background
+    MSE), and only the output-head leaves are zeroed."""
+    import numpy as np
+    from pose_estimation_amitai_tpu.data.synthetic import make_synthetic_arrays
+    from pose_estimation_amitai_tpu.data.pipeline import build_dataset
+    from pose_estimation_amitai_tpu.models import build_model
+    from pose_estimation_amitai_tpu.train.loop import create_train_state
+
+    arrays = make_synthetic_arrays(num_frames=2, num_points=8, image_size=48,
+                                   seed=0)
+    cfg = Config(num_base_filters=8, head_zero_init=True)
+    ds, _ = build_dataset(cfg, arrays)
+    x = ds.data["box"][:2]
+    model = build_model(cfg, x.shape[1:], int(ds.data["confmaps"].shape[-1]))
+    state = create_train_state(model, cfg, {"image": x})
+    head = state.params["decoder"]["deconv4"]
+    assert all(float(jnp.abs(v).max()) == 0.0 for v in jax.tree.leaves(head))
+    enc = [v for k, v in state.params.items() if k != "decoder"]
+    assert any(float(jnp.abs(v).max()) > 0 for v in jax.tree.leaves(enc))
+    out = model.apply({"params": state.params}, x, train=False)
+    assert float(jnp.abs(out).max()) == 0.0
+
+    # default stays library init (non-zero head)
+    cfg2 = Config(num_base_filters=8)
+    state2 = create_train_state(model, cfg2, {"image": x})
+    head2 = state2.params["decoder"]["deconv4"]
+    assert any(float(jnp.abs(v).max()) > 0 for v in jax.tree.leaves(head2))
