@@ -150,8 +150,11 @@ def run(epochs: int | None, out_dir: str | None, arch_flavor: str = "torch"):
     # measured unlearnable in this regime (train loss pinned at the
     # all-zeros MSE for 300 epochs at constant lr; outline data descends
     # from epoch ~30 under the reference's own plateau schedule).
+    # stroke_period=100: real debug clips are ~10 frames of 20k-fps video,
+    # i.e. ~0.1 wingbeat — inter-frame motion is a few px, and the 50/50
+    # split's val frames are near-duplicates of train frames.
     cache = (
-        pathlib.Path(tempfile.gettempdir()) / "parity_arrays_outline_v4.npz"
+        pathlib.Path(tempfile.gettempdir()) / "parity_arrays_outline_v7.npz"
     )
     if cache.exists():
         with np.load(cache) as z:
@@ -160,7 +163,7 @@ def run(epochs: int | None, out_dir: str | None, arch_flavor: str = "torch"):
         arrays = make_synthetic_arrays(
             num_frames=14, num_points=32, image_size=192, seed=1,
             wing_spread=0.008, feature_amp=1.3, motion="movie",
-            layout="outline",
+            stroke_period=100.0, layout="outline",
         )
         np.savez(cache, **arrays)
     t0 = time.time()
