@@ -165,6 +165,10 @@ class Config:
     # short-epoch regimes where the ~per-epoch params serialisation
     # dominates wall time — best-on-val checkpoints are unaffected)
     checkpoint_every: int = 1
+    # write checkpoints from a background thread (the device->host fetch +
+    # msgpack encode overlap the next epoch's dispatched work; saves stay
+    # atomic and ordered — train/checkpoint.py AsyncCheckpointer)
+    async_checkpoint: bool = True
     compute_dtype: str = "bfloat16"  # bf16 compute / f32 params (no AMP scaler)
     arch_flavor: str = "torch"  # 'torch' | 'tf': pins LeakyReLU alpha + skips
     mesh_shape: tuple[int, ...] = ()  # () => 1-D data mesh over all devices

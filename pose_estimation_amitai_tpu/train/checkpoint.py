@@ -64,6 +64,50 @@ def save_checkpoint(
     return path
 
 
+class AsyncCheckpointer:
+    """Background-thread checkpoint writer.
+
+    ``serialization.to_bytes`` forces a synchronous device->host fetch of
+    the full training state — seconds per save through a remote-attached
+    runtime, paid every epoch under the reference's every-epoch checkpoint
+    policy (pytorch/train_pytorch.py:253-260). JAX arrays are immutable, so
+    snapshotting the state is just capturing pytree references: the fetch,
+    msgpack encode and file write all run on a worker thread while the main
+    thread dispatches the next epoch's device work.
+
+    At most one write is in flight: a second save waits for the first
+    (bounded host memory, strictly ordered files). Writes stay atomic
+    (tmp + ``os.replace`` in :func:`save_checkpoint`). ``wait()`` re-raises
+    any worker exception — call it before reading files back or returning
+    control to the user.
+    """
+
+    def __init__(self) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._pool = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="ckpt-writer"
+        )
+        self._pending = None
+
+    def save_checkpoint(self, *args, **kwargs) -> None:
+        self.wait()
+        # resolve the module global at submit time so monkeypatched
+        # save_checkpoint (tests, scripts/parity_reference_regime.py's
+        # throttle) stays effective
+        self._pending = self._pool.submit(save_checkpoint, *args, **kwargs)
+
+    def save_params(self, path: str, params) -> None:
+        self.wait()
+        self._pending = self._pool.submit(save_params, path, params)
+
+    def wait(self) -> None:
+        """Block until the in-flight write lands; re-raise its error."""
+        if self._pending is not None:
+            pending, self._pending = self._pending, None
+            pending.result()
+
+
 def save_params(path: str, params) -> str:
     """Weights-only snapshot (analog of the per-epoch .h5 weights,
     tensorflow/CallBacks.py:122-128)."""

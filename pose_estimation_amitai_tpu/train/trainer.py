@@ -46,6 +46,22 @@ from .loop import (
 )
 
 
+class _CkptSync:
+    """Synchronous stand-in for AsyncCheckpointer (async_checkpoint=0).
+
+    Resolves ``ckpt.save_*`` at call time so monkeypatched writers (tests,
+    scripts) stay effective on both paths."""
+
+    def save_checkpoint(self, *args, **kwargs) -> None:
+        ckpt.save_checkpoint(*args, **kwargs)
+
+    def save_params(self, *args, **kwargs) -> None:
+        ckpt.save_params(*args, **kwargs)
+
+    def wait(self) -> None:
+        pass
+
+
 class Trainer:
     def __init__(
         self,
@@ -122,6 +138,13 @@ class Trainer:
             if cfg.epochs_pointwise_loss > 0
             and cfg.loss_function not in ("pointwise", "point_wise_loss")
             else None
+        )
+
+        # per-epoch checkpoint writer: background thread by default (the
+        # full-state device->host fetch overlaps the next epoch's work);
+        # _CkptSync preserves the synchronous path under async_checkpoint=0
+        self._ckpt_writer = (
+            ckpt.AsyncCheckpointer() if cfg.async_checkpoint else _CkptSync()
         )
 
         self.start_epoch = 0
@@ -255,11 +278,11 @@ class Trainer:
 
             if val_loss < self.best_loss:
                 self.best_loss = val_loss
-                ckpt.save_checkpoint(
+                self._ckpt_writer.save_checkpoint(
                     self.run_path, self.state, epoch, val_loss, best=True
                 )
             if cfg.save_every_epoch:
-                ckpt.save_params(
+                self._ckpt_writer.save_params(
                     os.path.join(
                         self.run_path, "weights",
                         f"weights.{epoch + 1:03d}-{val_loss:.9f}.msgpack",
@@ -267,7 +290,7 @@ class Trainer:
                     self.state.params,
                 )
             if (epoch + 1) % max(1, cfg.checkpoint_every) == 0:
-                ckpt.save_checkpoint(
+                self._ckpt_writer.save_checkpoint(
                     self.run_path, self.state, epoch, val_loss,
                     scheduler_state=self.scheduler.state_dict(),
                 )
@@ -279,6 +302,10 @@ class Trainer:
 
         if profiler_ctx:
             jax.profiler.stop_trace()
+        # land any in-flight background checkpoint write (and surface its
+        # errors) before the final snapshot and before returning files to
+        # the caller
+        self._ckpt_writer.wait()
         # final weights (tensorflow/train.py:102-104
         # ``final_confmaps_model.h5``; history rides in history.csv/.mat)
         ckpt.save_params(
