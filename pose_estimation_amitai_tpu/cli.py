@@ -9,6 +9,7 @@ rebuild keeps that config-file-first shape under one typed entry point:
     python -m pose_estimation_amitai_tpu pretrain <config.json> [crops]
     python -m pose_estimation_amitai_tpu infer    <config.json> <ckpt> <data.h5> [out.npz]
     python -m pose_estimation_amitai_tpu eval     <config.json> <ckpt> <data.h5>
+    python -m pose_estimation_amitai_tpu export   <config.json> <ckpt> <out.pexp>
 
 ``infer`` runs the full on-device pipeline (heatmaps -> peak decode ->
 multi-view 3D lift when camera matrices are present) and writes an .npz with
@@ -129,6 +130,48 @@ def cmd_eval(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Write a self-contained serving artifact (StableHLO + weights) —
+    the TPU-native analog of the reference's TorchScript ``best_model.pth``
+    (pytorch/train_pytorch.py:177-181)."""
+    from .config import Config
+    from .deploy import export_predictor
+    from .infer import Predictor
+
+    cfg = Config.from_json(args.config)
+    use_q = bool(args.quantized)
+    calibration = None
+    image_shape = tuple(args.image_shape)
+    if use_q:
+        rng = np.random.default_rng(0)
+        if args.data:
+            from .data.preprocess import Preprocessor
+
+            pre = Preprocessor(cfg.replace(data_path=args.data,
+                                           debug_mode=False))
+            pre.do_preprocess()
+            calibration = pre.get_box().astype(np.float32)[:32]
+            image_shape = tuple(calibration.shape[1:])
+        else:
+            # shape-only calibration (uniform [0,1) like normalized frames);
+            # pass real data for production scales
+            calibration = rng.random(
+                (32, *image_shape), dtype=np.float32
+            )
+    predictor = Predictor.from_checkpoint(
+        cfg, args.checkpoint,
+        image_shape=image_shape,
+        num_output_channels=args.out_channels,
+        chunk_size=args.chunk_size,
+        decode=args.decode,
+        use_quantized=use_q,
+        calibration_frames=calibration,
+    )
+    header = export_predictor(predictor, args.out)
+    print(json.dumps(header))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="pose_estimation_amitai_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -163,6 +206,26 @@ def main(argv: list[str] | None = None) -> int:
                  "peak parity verified in tests/test_quantized.py)",
         )
         s.set_defaults(fn=fn)
+
+    e = sub.add_parser(
+        "export",
+        help="write a self-contained serving artifact (StableHLO + weights)",
+    )
+    e.add_argument("config")
+    e.add_argument("checkpoint")
+    e.add_argument("out")
+    e.add_argument("--chunk-size", type=int, default=256)
+    e.add_argument("--decode", choices=("argmax", "soft", "refined"),
+                   default="argmax")
+    e.add_argument("--quantized", action="store_true",
+                   help="export the calibrated int8 serving program "
+                        "(pass --data for real calibration frames)")
+    e.add_argument("--data", default="",
+                   help="H5 dataset for int8 calibration (optional)")
+    e.add_argument("--image-shape", type=int, nargs=3,
+                   default=(192, 192, 4), metavar=("H", "W", "C"))
+    e.add_argument("--out-channels", type=int, default=18)
+    e.set_defaults(fn=cmd_export)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -63,6 +63,7 @@ class Predictor:
         self.cfg = cfg
         self.model = build_model(cfg, image_shape, num_output_channels)
         self.params = params
+        self._image_shape = tuple(image_shape)
         # BatchNorm running stats ride next to params (ResNet /
         # disentangled families); {} for stat-free models.
         self.variables = {"params": params}
