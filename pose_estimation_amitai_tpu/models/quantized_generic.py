@@ -12,8 +12,12 @@ float model computes it.
 
 Scheme (same as models/quantized.py): symmetric per-tensor activation scales
 calibrated as amax/127 over sample batches, symmetric per-output-channel
-weight scales. On v5e the MXU runs int8 at 2x the bf16 rate, so the matmul-
-dominated ViT family gains the most.
+weight scales. Measured (scripts/bench_zoo.py, v5e-1): the conv families
+gain from int8; the ViT family does NOT — its medium matmuls
+(144-576 tokens x dim 256) are bound by the LayerNorm/softmax VPU chain,
+so the per-layer quantize/dequantize overhead exceeds the MXU-rate gain
+and bf16 serves faster. Serve with whichever path bench_zoo.py shows
+fastest for the model family.
 
 The reference has no quantized serving at all (its inference-as-practiced is
 ``model.predict`` in float, SURVEY §3.5) — this is TPU-added capability, and
@@ -134,23 +138,40 @@ def calibrate_apply(
 
     ``variables`` is either a full variables dict or bare params;
     ``sample_inputs`` is a list of positional-arg tuples for ``model.apply``.
-    Runs unjitted (needs concrete activation values).
+
+    The instrumented forward runs under ``jax.jit``: the interceptor fires
+    at trace time and the per-layer amax tracers become the program's
+    outputs, so each calibration batch is ONE dispatched program instead of
+    thousands of eager ops (the eager variant takes tens of minutes per
+    batch through a remote-attached runtime).
     """
     if "params" not in variables:
         variables = {"params": variables}
-    collect: dict[str, float] = {}
 
-    def interceptor(next_fun, args, kwargs, context):
-        m = context.module
-        if isinstance(m, _QUANT_TYPES) and context.method_name == "__call__":
-            key = _path_key(m)
-            amax = float(jnp.max(jnp.abs(args[0])))
-            collect[key] = max(collect.get(key, 0.0), amax)
-        return next_fun(*args, **kwargs)
+    @jax.jit
+    def traced_amax(inputs):
+        local: dict[str, jax.Array] = {}
 
-    with nn.intercept_methods(interceptor):
-        for inputs in sample_inputs:
+        def interceptor(next_fun, args, kwargs, context):
+            m = context.module
+            if (
+                isinstance(m, _QUANT_TYPES)
+                and context.method_name == "__call__"
+            ):
+                key = _path_key(m)
+                amax = jnp.max(jnp.abs(args[0])).astype(jnp.float32)
+                prev = local.get(key)
+                local[key] = amax if prev is None else jnp.maximum(prev, amax)
+            return next_fun(*args, **kwargs)
+
+        with nn.intercept_methods(interceptor):
             model.apply(variables, *inputs, train=False, **apply_kwargs)
+        return local
+
+    collect: dict[str, float] = {}
+    for inputs in sample_inputs:
+        for k, v in traced_amax(tuple(inputs)).items():
+            collect[k] = max(collect.get(k, 0.0), float(v))
     return {k: v / 127.0 for k, v in collect.items()}
 
 
