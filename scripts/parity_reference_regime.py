@@ -88,7 +88,8 @@ TARGET_L2_PX = 3.44  # BASELINE.md: best val mean pixel L2, epoch 1137/2000
 TARGET_MSE = 3.882e-4  # BASELINE.md: best val heatmap MSE, epoch 1380/2000
 
 
-def run(epochs: int | None, out_dir: str | None, arch_flavor: str = "torch"):
+def run(epochs: int | None, out_dir: str | None, arch_flavor: str = "torch",
+        no_aug: bool = False):
     from pose_estimation_amitai_tpu.config import Config
     from pose_estimation_amitai_tpu.data.synthetic import make_synthetic_arrays
     from pose_estimation_amitai_tpu.train.trainer import Trainer
@@ -110,6 +111,14 @@ def run(epochs: int | None, out_dir: str | None, arch_flavor: str = "torch"):
         dropout_ratio=0.0,
     )
     cfg = cfg.replace(checkpoint_every=50)
+    if no_aug:
+        # The cross-framework control regime (RESULTS.md): augmentation OFF
+        # and constant LR. The torch replica of the reference loop
+        # (scripts/parity_torch_replica.py) escapes the background plateau
+        # and memorises this 40-train-sample task to sub-pixel under the
+        # same control; this flag produces OUR framework's number for the
+        # identical setting.
+        cfg = cfg.replace(do_augmentations=False, reduce_lr_factor=1.0)
     # Long-regime wall-time guard: the best-on-val snapshot otherwise
     # serialises the full state every epoch (val improves by hairs each
     # epoch in this regime, and each device->host fetch through a remote
@@ -173,7 +182,8 @@ def run(epochs: int | None, out_dir: str | None, arch_flavor: str = "torch"):
     mse = np.asarray(hist["val_loss"], np.float64)
     best_l2_ep = int(np.argmin(l2))
     summary = {
-        "regime": "reference debug (10 frames, 50/50 split, batch 5 x 10)",
+        "regime": "reference debug (10 frames, 50/50 split, batch 5 x 10)"
+                  + (" [aug OFF, constant LR]" if no_aug else ""),
         "epochs_run": len(l2),
         "best_val_l2_px": round(float(l2[best_l2_ep]), 3),
         "best_val_l2_epoch": best_l2_ep + 1,
@@ -194,6 +204,9 @@ if __name__ == "__main__":
     ap.add_argument("--epochs", type=int, default=None,
                     help="override the reference's 2000 (early-stop budget)")
     ap.add_argument("--out", type=str, default=None)
+    ap.add_argument("--no-aug", action="store_true",
+                    help="control regime: augmentation OFF + constant LR "
+                         "(cross-framework comparison vs the torch replica)")
     args = ap.parse_args()
-    s = run(args.epochs, args.out)
+    s = run(args.epochs, args.out, no_aug=args.no_aug)
     sys.exit(0 if s["l2_target_met"] else 1)
