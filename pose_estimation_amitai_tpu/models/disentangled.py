@@ -75,17 +75,13 @@ class FourCamDisentangled(nn.Module):
         rearrange2 = conv1x1(enc_ch, "rearrange2")
         canon_ch = self.latent_3d_channels // 3 * 4  # 400
 
-        # Shared weights -> fold views into the batch axis: ONE encoder +
-        # rearrange pass at 4B (bigger convs, one fused XLA chain) instead
-        # of 4 sequential passes. BatchNorm below stays per-view exactly as
-        # the reference loops it (pytorch/CNNs.py:284-324).
-        enc_stacked = encoder(jnp.concatenate(views, axis=0), train=train)
-        first_encs = jnp.split(enc_stacked, num_cams, axis=0)
-        re1_stacked = rearrange1(enc_stacked).astype(jnp.float32)
-        re1 = jnp.split(re1_stacked, num_cams, axis=0)
+        first_encs = [encoder(v, train=train) for v in views]
         # Per-view latent -> canonical space through pinv(P_i).
         canonical = [
-            ftl_inverse(re1[i], camera_matrices_inv[:, i]).astype(self.dtype)
+            ftl_inverse(
+                rearrange1(first_encs[i]).astype(jnp.float32),
+                camera_matrices_inv[:, i],
+            ).astype(self.dtype)
             for i in range(num_cams)
         ]
 

@@ -78,13 +78,7 @@ class MultiCamNet(nn.Module):
             self.filters, self.kernel_size, self.dilation, self.dropout,
             self.num_blocks, self.flavor, self.dtype, name="shared_encoder",
         )
-        # Shared weights -> fold the views into the batch axis and run ONE
-        # encoder pass at num_cams*B instead of num_cams sequential passes:
-        # bigger convs tile the MXU better and XLA schedules one fused
-        # chain (weights identical; dropout stays per-view via the fold-in
-        # batch dimension). Same trick below for the shared decoder.
-        encs_stacked = encoder(jnp.concatenate(views, axis=0), train=train)
-        encs = jnp.split(encs_stacked, self.num_cams, axis=0)
+        encs = [encoder(v, train=train) for v in views]
         merged = jnp.concatenate(encs, axis=-1)
 
         if self.flavor == "torch":
@@ -103,8 +97,5 @@ class MultiCamNet(nn.Module):
             self.out_channels // self.num_cams, self.filters, self.kernel_size,
             self.num_blocks, self.flavor, self.dtype, name="shared_decoder",
         )
-        dec_in = jnp.concatenate(
-            [jnp.concatenate([e, fused], axis=-1) for e in encs], axis=0
-        )
-        outs = jnp.split(decoder(dec_in), self.num_cams, axis=0)
+        outs = [decoder(jnp.concatenate([e, fused], axis=-1)) for e in encs]
         return jnp.concatenate(outs, axis=-1).astype(jnp.float32)

@@ -262,28 +262,18 @@ class ViT4Cameras(nn.Module):
         encoder = Transformer(self.dim, self.depth, self.heads, self.dim_head,
                               self.dim * self.mlp_expand, self.dropout,
                               self.dtype, name="shared_encoder")
-        # Shared weights -> fold the 4 views into the batch axis: one
-        # embed+encoder pass, one fuse pass per layer, one decoder pass —
-        # each at 4B — instead of 4 sequential passes each (bigger matmuls
-        # on the MXU, one fused XLA chain; attention and LayerNorm are
-        # per-sample/per-token so the fold is semantics-preserving).
-        stacked = jnp.concatenate(views, axis=0)  # (4B, H, W, cc)
-        encs_st = encoder(embed(stacked), train=train)  # (4B, N, dim)
-        skips_st = encs_st
-        encs = jnp.split(encs_st, num_cams, axis=0)
+        encs = [encoder(embed(v), train=train) for v in views]
+        skips = list(encs)
         merged = jnp.concatenate(encs, axis=-1)  # (B, N, 4*dim)
         for i in range(self.num_fuse_layers):
             fuse = CrossAttentionFuse(self.dim * 5, self.dim, self.dtype,
                                       name=f"fuse{i}")
-            fuse_in = jnp.concatenate(
-                [jnp.concatenate([e, merged], axis=-1) for e in encs], axis=0
-            )
-            fused = fuse(fuse_in, train=train) + jnp.concatenate(encs, axis=0)
-            encs = jnp.split(fused, num_cams, axis=0)
+            encs = [
+                fuse(jnp.concatenate([e, merged], axis=-1), train=train) + e
+                for e in encs
+            ]
         decoder = CNNDecoderViT(self.out_channels // num_cams, self.dim,
                                 self.kernel_size, "torch", self.dtype,
                                 name="shared_decoder")
-        outs = jnp.split(
-            decoder(jnp.concatenate(encs, axis=0) + skips_st), num_cams, axis=0
-        )
+        outs = [decoder(e + s) for e, s in zip(encs, skips)]
         return jnp.concatenate(outs, axis=-1).astype(jnp.float32)
