@@ -7,3 +7,8 @@ from .mesh import (  # noqa: F401
     shard_batch,
     shard_params,
 )
+from .pipeline import (  # noqa: F401
+    PipelinedViT,
+    make_pipeline_mesh,
+    make_pipelined_train_step,
+)

@@ -1,0 +1,270 @@
+"""Pipeline parallelism (GPipe schedule) over the ViT transformer trunk.
+
+The reference workload never needs PP — its largest model is ~10^7 params on
+one GPU (SURVEY §2.4 lists PP as absent). The rebuild still ships a real,
+tested implementation so the parallelism surface is complete and the design
+scales past single-chip HBM if model sizes ever grow: the transformer trunk
+of the ViT family (models/vit.py, reference pytorch/pytorch_vit_encoder.py:
+81-105) is a stack of L homogeneous pre-LN blocks — the textbook pipeline
+shape.
+
+TPU-native design (the scaling-book recipe, not an NCCL send/recv port):
+
+* block parameters are **stacked** on a leading layer axis and sharded over
+  the mesh's ``pipe`` axis — each stage owns ``L / S`` consecutive blocks in
+  its own HBM; embedding/decoder stay replicated (they are tiny).
+* the schedule runs inside one ``jax.shard_map`` region: a ``lax.scan`` over
+  ``M + S - 1`` ticks where every stage applies its local blocks (an inner
+  ``lax.scan`` over the stacked leaf axis — one compiled block body, not L
+  unrolled copies) and hands its activation to the next stage with a single
+  ``lax.ppermute`` ring step riding ICI.
+* the bubble is the standard GPipe ``(S-1)/(M+S-1)`` fraction; choose
+  ``num_microbatches >= S`` to amortise.
+* backward needs no hand-written schedule: ``ppermute`` has a transpose
+  (the reversed ring), so ``jax.grad`` through the shard_mapped trunk yields
+  the reverse pipeline automatically and XLA overlaps the transfers.
+* composes with data parallelism: the mesh is ``(data, pipe)``; microbatch
+  rows are sharded over ``data``, block stacks over ``pipe``.
+
+Dropout inside the pipelined trunk is deterministic-off: PP targets
+large-model serving/training where the ViT family here uses dropout 0.0
+(reference default, pytorch/VITs.py:197-229).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.vit import Attention, CNNDecoderViT, FeedForward, PatchEmbed
+from .mesh import DATA_AXIS
+
+PIPE_AXIS = "pipe"
+
+from flax import linen as nn
+
+
+class PipelineBlock(nn.Module):
+    """One pre-LN transformer block (attention + MLP, residual both).
+
+    Identical math to one loop iteration of models.vit.Transformer
+    (reference: pytorch/pytorch_vit_encoder.py:81-105); factored out so L
+    block param sets can be stacked on a leading axis and sharded over the
+    ``pipe`` mesh axis.
+    """
+
+    dim: int
+    heads: int = 8
+    dim_head: int = 64
+    mlp_dim: int = 1024
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = Attention(self.dim, self.heads, self.dim_head, 0.0, self.dtype,
+                      name="attn")(x, train=False) + x
+        x = FeedForward(self.dim, self.mlp_dim, 0.0, self.dtype,
+                        name="ff")(x, train=False) + x
+        return x
+
+
+def make_pipeline_mesh(dp: int, pp: int, devices=None) -> Mesh:
+    """A 2-D ``(data, pipe)`` mesh: DP over ICI rows, PP ring over columns."""
+    devices = devices if devices is not None else jax.devices()
+    assert len(devices) >= dp * pp, (
+        f"need {dp * pp} devices for a ({dp},{pp}) mesh, have {len(devices)}"
+    )
+    arr = np.asarray(devices[: dp * pp]).reshape(dp, pp)
+    return Mesh(arr, (DATA_AXIS, PIPE_AXIS))
+
+
+class PipelinedViT:
+    """ViT heatmap model with its transformer trunk pipelined over stages.
+
+    Same architecture as models.vit.ViTPoseNet (patch embed -> L pre-LN
+    blocks -> final LN -> 4-deconv CNN decoder, reference pytorch/VITs.py:
+    197-229) with the block stack executed as a GPipe pipeline over the
+    mesh's ``pipe`` axis.
+    """
+
+    def __init__(
+        self,
+        mesh: Mesh,
+        *,
+        image_hw: int = 192,
+        in_channels: int = 4,
+        out_channels: int = 18,
+        patch_size: int = 16,
+        dim: int = 256,
+        depth: int = 8,
+        heads: int = 8,
+        dim_head: int = 64,
+        mlp_expand: int = 4,
+        num_microbatches: int | None = None,
+        dtype: Any = jnp.bfloat16,
+    ):
+        self.mesh = mesh
+        self.stages = int(mesh.shape[PIPE_AXIS])
+        assert depth % self.stages == 0, (
+            f"depth {depth} must divide into {self.stages} pipeline stages"
+        )
+        self.depth = depth
+        self.num_microbatches = int(num_microbatches or self.stages)
+        self.image_hw = image_hw
+        self.in_channels = in_channels
+        self.out_channels = out_channels
+        self.dim = dim
+        self.grid = image_hw // patch_size
+        self.tokens = self.grid * self.grid
+        self.embed = PatchEmbed(dim, patch_size, dtype=dtype)
+        self.block = PipelineBlock(dim, heads, dim_head, dim * mlp_expand,
+                                   dtype)
+        self.final_norm = nn.LayerNorm(dtype=jnp.float32)
+        self.decoder = CNNDecoderViT(out_channels, dim, 3, "torch", dtype)
+        self.dtype = dtype
+
+    # ---------------------------------------------------------------- init
+    def init(self, key) -> dict:
+        """Initialise params; block leaves stacked (L, ...) over layers."""
+        k_embed, k_blocks, k_norm, k_dec = jax.random.split(key, 4)
+        x = jnp.zeros((1, self.image_hw, self.image_hw, self.in_channels),
+                      jnp.float32)
+        embed_p = self.embed.init(k_embed, x)["params"]
+        tok = jnp.zeros((1, self.tokens, self.dim), self.dtype)
+        block_keys = jax.random.split(k_blocks, self.depth)
+        blocks_p = jax.vmap(
+            lambda k: self.block.init(k, tok)["params"]
+        )(block_keys)
+        norm_p = self.final_norm.init(k_norm, tok.astype(jnp.float32))[
+            "params"
+        ]
+        dec_p = self.decoder.init(k_dec, tok)["params"]
+        return {
+            "embed": embed_p,
+            "blocks": blocks_p,
+            "final_norm": norm_p,
+            "decoder": dec_p,
+        }
+
+    def shard_params(self, params: dict) -> dict:
+        """Place params: block stacks split over ``pipe``, rest replicated."""
+        repl = NamedSharding(self.mesh, P())
+        staged = NamedSharding(self.mesh, P(PIPE_AXIS))
+        out = {
+            k: jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, repl), params[k]
+            )
+            for k in ("embed", "final_norm", "decoder")
+        }
+        out["blocks"] = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, staged), params["blocks"]
+        )
+        return out
+
+    # ------------------------------------------------------------- pipeline
+    def _apply_local_blocks(self, local_blocks, x):
+        """Scan this stage's (L/S, ...) block stack over one activation."""
+
+        def body(h, bp):
+            return self.block.apply({"params": bp}, h), None
+
+        y, _ = jax.lax.scan(body, x, local_blocks)
+        return y
+
+    def _trunk_shardmapped(self, blocks, toks):
+        """GPipe schedule. toks: (M, mb, N, D) microbatch stream.
+
+        Per (data, pipe) shard: local blocks (L/S, ...), toks
+        (M, mb/dp, N, D). Stage 0 ingests microbatch ``t`` at tick ``t``;
+        stage ``k`` processes microbatch ``t - k``; the last stage emits
+        microbatch ``t - (S-1)``. One ppermute ring step per tick.
+        """
+        S = self.stages
+        M = toks.shape[0]
+        T = M + S - 1
+        idx = jax.lax.axis_index(PIPE_AXIS)
+        ring = [(i, (i + 1) % S) for i in range(S)]
+        zero = jnp.zeros(toks.shape[1:], toks.dtype)
+
+        def tick(state, t):
+            inp = jax.lax.dynamic_index_in_dim(
+                toks, jnp.minimum(t, M - 1), 0, keepdims=False
+            )
+            x = jnp.where(idx == 0, inp, state)
+            y = self._apply_local_blocks(blocks, x)
+            out = jnp.where(idx == S - 1, y, jnp.zeros_like(y))
+            nxt = jax.lax.ppermute(y, PIPE_AXIS, ring)
+            return nxt, out
+
+        _, outs = jax.lax.scan(tick, zero, jnp.arange(T))
+        # outs[S-1 + j] holds microbatch j on the last stage, zeros elsewhere;
+        # psum broadcasts it to every stage (transpose = identity partition,
+        # so grads flow straight back into the reverse pipeline).
+        outs = jax.lax.psum(outs[S - 1 :], PIPE_AXIS)
+        return outs
+
+    def apply(self, params: dict, x: jnp.ndarray) -> jnp.ndarray:
+        """Full forward: embed -> pipelined trunk -> final LN -> decoder.
+
+        ``x``: (B, H, W, C) with B divisible by num_microbatches.
+        """
+        M = self.num_microbatches
+        b = x.shape[0]
+        assert b % M == 0, f"batch {b} must divide into {M} microbatches"
+        tokens = self.embed.apply({"params": params["embed"]}, x)
+        toks = tokens.reshape(M, b // M, self.tokens, self.dim)
+
+        trunk = jax.shard_map(
+            self._trunk_shardmapped,
+            mesh=self.mesh,
+            in_specs=(P(PIPE_AXIS), P(None, DATA_AXIS, None, None)),
+            out_specs=P(None, DATA_AXIS, None, None),
+            check_vma=False,
+        )
+        y = trunk(params["blocks"], toks).reshape(b, self.tokens, self.dim)
+        y = self.final_norm.apply(
+            {"params": params["final_norm"]}, y.astype(jnp.float32)
+        )
+        return self.decoder.apply({"params": params["decoder"]}, y)
+
+    def apply_sequential(self, params: dict, x: jnp.ndarray) -> jnp.ndarray:
+        """Reference forward without the pipeline (same params/math)."""
+        tokens = self.embed.apply({"params": params["embed"]}, x)
+        y = self._apply_local_blocks(params["blocks"], tokens)
+        y = self.final_norm.apply(
+            {"params": params["final_norm"]}, y.astype(jnp.float32)
+        )
+        return self.decoder.apply({"params": params["decoder"]}, y)
+
+
+def make_pipelined_train_step(model: PipelinedViT, learning_rate: float = 1e-3):
+    """Jitted MSE train step through the pipelined forward.
+
+    Returns ``(tx, step)`` where ``step(params, opt_state, batch) ->
+    (params, opt_state, loss)``; gradients of the staged block stacks stay
+    sharded over ``pipe`` (Adam is elementwise, so moments follow), the
+    embed/decoder grads are replicated — XLA inserts the DP psum and the
+    reverse-pipeline ppermutes from the forward's structure.
+    """
+    tx = optax.adam(learning_rate)
+
+    def loss_fn(params, images, confmaps):
+        pred = model.apply(params, images)
+        return jnp.mean((pred.astype(jnp.float32) - confmaps) ** 2)
+
+    @jax.jit
+    def step(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, batch["image"], batch["confmaps"]
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return tx, step
