@@ -12,3 +12,11 @@ from .pipeline import (  # noqa: F401
     make_pipeline_mesh,
     make_pipelined_train_step,
 )
+from .sequence import (  # noqa: F401
+    make_seq_mesh,
+    ring_attention,
+)
+from .expert import (  # noqa: F401
+    MoEFeedForward,
+    make_expert_mesh,
+)
