@@ -303,22 +303,23 @@ def write_synthetic_h5(
     num_frames: int = 16,
     num_points: int = 16,
     seed: int = 0,
-    layout: str = "transposed",
+    h5_layout: str = "transposed",
     **kw,
 ) -> str:
     """Write a synthetic dataset to ``path`` in the reference's H5 layout.
 
-    ``layout="transposed"`` (default) stores the fully reversed arrays the
-    real MATLAB-exported files carry (un-done by the loader's contract
+    ``h5_layout="transposed"`` (default) stores the fully reversed arrays
+    the real MATLAB-exported files carry (un-done by the loader's contract
     canonicalisation; reference dialect pytorch/preprocessor.py:110-118,
     ``cameras_dlt_array[:].T`` at :54, ``points_3D`` permute at :60-62);
-    ``layout="canonical"`` stores the post-fixup layouts directly — the
-    loader accepts both.
+    ``h5_layout="canonical"`` stores the post-fixup layouts directly — the
+    loader accepts both. Remaining ``**kw`` (including the *wing* ``layout``
+    — "cloud"/"outline") pass through to :func:`make_synthetic_arrays`.
     """
     import h5py
 
     arrs = make_synthetic_arrays(num_frames, num_points, seed=seed, **kw)
-    transposed = layout == "transposed"
+    transposed = h5_layout == "transposed"
     with h5py.File(path, "w") as f:
         f.create_dataset(
             "box", data=arrs["box"].T if transposed else arrs["box"]

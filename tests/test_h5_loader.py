@@ -26,7 +26,7 @@ def test_loader_roundtrip_both_layouts(tmp_path, layout):
     arrs = make_synthetic_arrays(num_frames=4, num_points=8, image_size=48)
     path = tmp_path / f"{layout}.h5"
     write_synthetic_h5(str(path), num_frames=4, num_points=8, image_size=48,
-                       layout=layout)
+                       h5_layout=layout)
     got = _roundtrip(path)
     for k in ("box", "confmaps", "points_3D", "cropZone",
               "cameras_dlt_array"):
