@@ -30,22 +30,16 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .mesh import DATA_AXIS
+from .mesh import DATA_AXIS, make_2d_mesh
 
 EXPERT_AXIS = "expert"
 
 
 def make_expert_mesh(dp: int, ep: int, devices=None) -> Mesh:
-    """A 2-D ``(data, expert)`` mesh."""
-    devices = devices if devices is not None else jax.devices()
-    assert len(devices) >= dp * ep, (
-        f"need {dp * ep} devices for a ({dp},{ep}) mesh, have {len(devices)}"
-    )
-    arr = np.asarray(devices[: dp * ep]).reshape(dp, ep)
-    return Mesh(arr, (DATA_AXIS, EXPERT_AXIS))
+    """A 2-D ``(data, expert)`` mesh (topology-aware device ordering)."""
+    return make_2d_mesh(dp, ep, EXPERT_AXIS, devices)
 
 
 class MoEFeedForward:
@@ -122,6 +116,11 @@ class MoEFeedForward:
     def apply(self, params: dict, x: jnp.ndarray) -> jnp.ndarray:
         """Expert-parallel forward over the mesh. x: (B, N, D)."""
         has_data = DATA_AXIS in self.mesh.shape
+        if has_data:
+            dp = int(self.mesh.shape[DATA_AXIS])
+            assert x.shape[0] % dp == 0, (
+                f"batch {x.shape[0]} must divide over the {dp}-way data axis"
+            )
         batch = DATA_AXIS if has_data else None
         tok = P(batch, None, None)
         stk = P(EXPERT_AXIS)

@@ -64,6 +64,29 @@ def maybe_initialize_distributed(cfg=None) -> bool:
     return jax.process_count() > 1
 
 
+def _device_grid(shape: tuple[int, ...], devices: list) -> np.ndarray:
+    """Arrange devices into a grid, ICI-topology-aware where possible.
+
+    ``mesh_utils.create_device_mesh`` orders real TPU devices so that
+    neighbouring mesh coordinates are physical ICI neighbours — which is
+    what makes the ppermute rings in pipeline/sequence parallelism single-
+    hop. Falls back to enumeration-order reshape for device subsets or
+    backends the helper rejects (e.g. a CPU test mesh, where topology is
+    meaningless).
+    """
+    n = int(np.prod(shape))
+    assert len(devices) >= n, (
+        f"need {n} devices for a {shape} mesh, have {len(devices)}"
+    )
+    devs = list(devices[:n])
+    try:
+        from jax.experimental import mesh_utils
+
+        return mesh_utils.create_device_mesh(shape, devices=devs)
+    except Exception:
+        return np.asarray(devs).reshape(shape)
+
+
 def make_mesh(
     mesh_shape: tuple[int, ...] = (), devices: list | None = None
 ) -> Mesh:
@@ -76,8 +99,15 @@ def make_mesh(
     if not mesh_shape:
         mesh_shape = (len(devices),)
     axes = (DATA_AXIS, MODEL_AXIS)[: len(mesh_shape)]
-    dev_array = np.asarray(devices[: int(np.prod(mesh_shape))]).reshape(mesh_shape)
-    return Mesh(dev_array, axes)
+    return Mesh(_device_grid(tuple(mesh_shape), devices), axes)
+
+
+def make_2d_mesh(
+    dp: int, n: int, second_axis: str, devices: list | None = None
+) -> Mesh:
+    """A 2-D ``(data, <second_axis>)`` mesh — DP rows, ring over columns."""
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(_device_grid((dp, n), devices), (DATA_AXIS, second_axis))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

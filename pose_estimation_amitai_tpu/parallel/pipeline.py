@@ -12,7 +12,12 @@ TPU-native design (the scaling-book recipe, not an NCCL send/recv port):
 
 * block parameters are **stacked** on a leading layer axis and sharded over
   the mesh's ``pipe`` axis — each stage owns ``L / S`` consecutive blocks in
-  its own HBM; embedding/decoder stay replicated (they are tiny).
+  its own HBM; embedding/decoder stay replicated (they are tiny). Note the
+  memory that shards is the trunk's params + optimizer state (the dominant
+  cost for the deep trunks PP targets); the microbatch activation stream
+  itself rides in replicated over ``pipe`` — a production placement that
+  pins embed to stage 0 and decoder to stage S-1 would shard that too, at
+  the cost of losing the plain replicated outer modules this design keeps.
 * the schedule runs inside one ``jax.shard_map`` region: a ``lax.scan`` over
   ``M + S - 1`` ticks where every stage applies its local blocks (an inner
   ``lax.scan`` over the stacked leaf axis — one compiled block body, not L
@@ -33,17 +38,15 @@ large-model serving/training where the ViT family here uses dropout 0.0
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.vit import Attention, CNNDecoderViT, FeedForward, PatchEmbed
-from .mesh import DATA_AXIS
+from .mesh import DATA_AXIS, make_2d_mesh
 
 PIPE_AXIS = "pipe"
 
@@ -75,13 +78,12 @@ class PipelineBlock(nn.Module):
 
 
 def make_pipeline_mesh(dp: int, pp: int, devices=None) -> Mesh:
-    """A 2-D ``(data, pipe)`` mesh: DP over ICI rows, PP ring over columns."""
-    devices = devices if devices is not None else jax.devices()
-    assert len(devices) >= dp * pp, (
-        f"need {dp * pp} devices for a ({dp},{pp}) mesh, have {len(devices)}"
-    )
-    arr = np.asarray(devices[: dp * pp]).reshape(dp, pp)
-    return Mesh(arr, (DATA_AXIS, PIPE_AXIS))
+    """A 2-D ``(data, pipe)`` mesh: DP over ICI rows, PP ring over columns.
+
+    Topology-aware (parallel.mesh._device_grid): on real TPU slices the
+    ``pipe`` ring hops are physical ICI neighbours.
+    """
+    return make_2d_mesh(dp, pp, PIPE_AXIS, devices)
 
 
 class PipelinedViT:
@@ -115,7 +117,12 @@ class PipelinedViT:
             f"depth {depth} must divide into {self.stages} pipeline stages"
         )
         self.depth = depth
-        self.num_microbatches = int(num_microbatches or self.stages)
+        if num_microbatches is None:
+            num_microbatches = self.stages
+        assert num_microbatches >= 1, (
+            f"num_microbatches must be >= 1, got {num_microbatches}"
+        )
+        self.num_microbatches = int(num_microbatches)
         self.image_hw = image_hw
         self.in_channels = in_channels
         self.out_channels = out_channels
@@ -192,17 +199,26 @@ class PipelinedViT:
         ring = [(i, (i + 1) % S) for i in range(S)]
         zero = jnp.zeros(toks.shape[1:], toks.dtype)
 
-        def tick(state, t):
+        def compute(state, t):
             inp = jax.lax.dynamic_index_in_dim(
                 toks, jnp.minimum(t, M - 1), 0, keepdims=False
             )
             x = jnp.where(idx == 0, inp, state)
             y = self._apply_local_blocks(blocks, x)
             out = jnp.where(idx == S - 1, y, jnp.zeros_like(y))
+            return y, out
+
+        def tick(state, t):
+            y, out = compute(state, t)
             nxt = jax.lax.ppermute(y, PIPE_AXIS, ring)
             return nxt, out
 
-        _, outs = jax.lax.scan(tick, zero, jnp.arange(T))
+        # T-1 ring ticks, then the final tick without the (otherwise
+        # discarded) ring hop — saves one ICI hop per call and its
+        # transpose in backward.
+        state, outs = jax.lax.scan(tick, zero, jnp.arange(T - 1))
+        _, last = compute(state, jnp.asarray(T - 1))
+        outs = jnp.concatenate([outs, last[None]], axis=0)
         # outs[S-1 + j] holds microbatch j on the last stage, zeros elsewhere;
         # psum broadcasts it to every stage (transpose = identity partition,
         # so grads flow straight back into the reverse pipeline).
@@ -217,6 +233,11 @@ class PipelinedViT:
         M = self.num_microbatches
         b = x.shape[0]
         assert b % M == 0, f"batch {b} must divide into {M} microbatches"
+        dp = int(self.mesh.shape[DATA_AXIS])
+        assert (b // M) % dp == 0, (
+            f"microbatch size {b // M} (batch {b} / {M} microbatches) must "
+            f"divide over the {dp}-way data axis"
+        )
         tokens = self.embed.apply({"params": params["embed"]}, x)
         toks = tokens.reshape(M, b // M, self.tokens, self.dim)
 

@@ -31,22 +31,20 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from .mesh import DATA_AXIS
+from .mesh import DATA_AXIS, make_2d_mesh
 
 SEQ_AXIS = "seq"
 
 
 def make_seq_mesh(dp: int, sp: int, devices=None) -> Mesh:
-    """A 2-D ``(data, seq)`` mesh: DP over rows, the SP ring over columns."""
-    devices = devices if devices is not None else jax.devices()
-    assert len(devices) >= dp * sp, (
-        f"need {dp * sp} devices for a ({dp},{sp}) mesh, have {len(devices)}"
-    )
-    arr = np.asarray(devices[: dp * sp]).reshape(dp, sp)
-    return Mesh(arr, (DATA_AXIS, SEQ_AXIS))
+    """A 2-D ``(data, seq)`` mesh: DP over rows, the SP ring over columns.
+
+    Topology-aware (parallel.mesh._device_grid): on real TPU slices the
+    ``seq`` ring hops are physical ICI neighbours.
+    """
+    return make_2d_mesh(dp, sp, SEQ_AXIS, devices)
 
 
 def _ring_attention_shard(num_shards: int, q, k, v):
@@ -65,8 +63,7 @@ def _ring_attention_shard(num_shards: int, q, k, v):
     l0 = jnp.zeros((b, h, n), jnp.float32)
     m0 = jnp.full((b, h, n), -jnp.inf, jnp.float32)
 
-    def tick(carry, _):
-        o, l, m, kc, vc = carry
+    def fold(o, l, m, kc, vc):
         s = jnp.einsum(
             "bnhd,bmhd->bhnm", qf, kc.astype(jnp.float32)
         ) * scale
@@ -77,13 +74,21 @@ def _ring_attention_shard(num_shards: int, q, k, v):
         o = o * corr[..., None] + jnp.einsum(
             "bhnm,bmhd->bhnd", p, vc.astype(jnp.float32)
         )
+        return o, l, m_new
+
+    def tick(carry, _):
+        o, l, m, kc, vc = carry
+        o, l, m = fold(o, l, m, kc, vc)
         kc = jax.lax.ppermute(kc, SEQ_AXIS, ring)
         vc = jax.lax.ppermute(vc, SEQ_AXIS, ring)
-        return (o, l, m_new, kc, vc), None
+        return (o, l, m, kc, vc), None
 
-    (o, l, _, _, _), _ = jax.lax.scan(
-        tick, (o0, l0, m0, k, v), None, length=num_shards
+    # S-1 ring ticks, then the final slab folded without the (otherwise
+    # discarded) last ring hop.
+    (o, l, m, kc, vc), _ = jax.lax.scan(
+        tick, (o0, l0, m0, k, v), None, length=num_shards - 1
     )
+    o, l, _ = fold(o, l, m, kc, vc)
     out = o / l[..., None]
     return out.transpose(0, 2, 1, 3).astype(q.dtype)
 
@@ -103,6 +108,11 @@ def ring_attention(
         f"token count {q.shape[1]} must divide over {sp} seq shards"
     )
     has_data = DATA_AXIS in mesh.shape
+    if has_data:
+        dp = int(mesh.shape[DATA_AXIS])
+        assert q.shape[0] % dp == 0, (
+            f"batch {q.shape[0]} must divide over the {dp}-way data axis"
+        )
     batch = DATA_AXIS if has_data else None
     spec = P(batch, SEQ_AXIS, None, None)
 
