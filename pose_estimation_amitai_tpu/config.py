@@ -81,6 +81,8 @@ _ALIASES: dict[str, tuple[str, ...]] = {
     "compute_dtype": ("compute_dtype",),
     "arch_flavor": ("arch_flavor",),
     "mesh_shape": ("mesh_shape",),
+    "pipeline_stages": ("pipeline_stages", "pipeline stages"),
+    "pipeline_microbatches": ("pipeline_microbatches", "pipeline microbatches"),
     "resume_from": ("resume_from",),
     "coarse_model_path": ("coarse_model_path",),
     "pretrained_encoder_path": ("pretrained_encoder_path",),
@@ -172,6 +174,11 @@ class Config:
     compute_dtype: str = "bfloat16"  # bf16 compute / f32 params (no AMP scaler)
     arch_flavor: str = "torch"  # 'torch' | 'tf': pins LeakyReLU alpha + skips
     mesh_shape: tuple[int, ...] = ()  # () => 1-D data mesh over all devices
+    # GPipe pipeline parallelism over the ViT trunk (parallel/pipeline.py):
+    # >1 => train on a (data, pipe) mesh with the transformer block stack
+    # sharded over `pipeline_stages` stages. ViT heatmap family only.
+    pipeline_stages: int = 0
+    pipeline_microbatches: int = 0  # 0 => one microbatch per stage
     resume_from: str = ""  # checkpoint dir/file to resume training from
     coarse_model_path: str = ""  # C2F: frozen coarse-stage checkpoint
     pretrained_encoder_path: str = ""  # fine-tune after self-supervision

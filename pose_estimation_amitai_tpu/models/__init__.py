@@ -27,6 +27,7 @@ __all__ = [
     "FourCamDisentangled", "ResNetHeatmapNet", "GPTResNet", "ViTPoseNet",
     "ViT4Cameras",
     "build_model", "needs_camera_matrices", "augmentation_views",
+    "vit_single_kwargs",
 ]
 
 _VIT_SINGLE = {
@@ -65,6 +66,36 @@ def augmentation_views(model_type: str) -> int:
     if model_type in _DISENTANGLED:
         return 4
     return 1
+
+
+def vit_single_kwargs(cfg: Config, num_output_channels: int) -> dict[str, Any]:
+    """ViT architecture kwargs for ``cfg`` (single-view heatmap family).
+
+    Shared between :func:`build_model`'s ViTPoseNet construction and the
+    trainer's pipeline-parallel path (parallel/pipeline.py PipelinedViT),
+    which builds the same architecture with its trunk staged over a mesh.
+    Raises for model types outside the single-view ViT family — the only
+    family with the homogeneous block stack pipeline stages require.
+    """
+    if cfg.model_type not in _VIT_SINGLE:
+        raise ValueError(
+            f"pipeline_stages requires a single-view ViT model type, got "
+            f"{cfg.model_type!r} (supported: {sorted(_VIT_SINGLE)})"
+        )
+    dim_head = cfg.projection_dim if cfg.dim_head else 64
+    return dict(
+        out_channels=num_output_channels,
+        patch_size=cfg.patch_size,
+        dim=cfg.projection_dim,
+        depth=cfg.transformer_layers,
+        heads=cfg.num_heads,
+        dim_head=dim_head,
+        mlp_expand=cfg.fully_connected_expand,
+        kernel_size=cfg.kernel_size,
+        dropout=cfg.dropout_ratio,
+        flavor=cfg.arch_flavor,
+        dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
+    )
 
 
 def build_model(
@@ -120,7 +151,7 @@ def build_model(
         kw.pop("flavor", None)
         return CoarsePerWing(**kw)
     if mt in _VIT_SINGLE:
-        return ViTPoseNet(flavor=cfg.arch_flavor, **vit_kw)
+        return ViTPoseNet(**vit_single_kwargs(cfg, num_output_channels))
     if mt in _VIT_4CAM:
         return ViT4Cameras(**vit_kw)
     if mt in _DISENTANGLED:

@@ -108,7 +108,9 @@ class PipelinedViT:
         heads: int = 8,
         dim_head: int = 64,
         mlp_expand: int = 4,
+        kernel_size: int = 3,
         num_microbatches: int | None = None,
+        flavor: str = "torch",
         dtype: Any = jnp.bfloat16,
     ):
         self.mesh = mesh
@@ -129,11 +131,15 @@ class PipelinedViT:
         self.dim = dim
         self.grid = image_hw // patch_size
         self.tokens = self.grid * self.grid
-        self.embed = PatchEmbed(dim, patch_size, dtype=dtype)
+        # same flavor semantics as models.vit.ViTPoseNet: torch LayerNorms
+        # the patch embedding and min-max-normalises the decoder output
+        self.embed = PatchEmbed(dim, patch_size, post_norm=flavor == "torch",
+                                dtype=dtype)
         self.block = PipelineBlock(dim, heads, dim_head, dim * mlp_expand,
                                    dtype)
         self.final_norm = nn.LayerNorm(dtype=jnp.float32)
-        self.decoder = CNNDecoderViT(out_channels, dim, 3, "torch", dtype)
+        self.decoder = CNNDecoderViT(out_channels, dim, kernel_size, flavor,
+                                     dtype)
         self.dtype = dtype
 
     # ---------------------------------------------------------------- init
@@ -262,6 +268,97 @@ class PipelinedViT:
             {"params": params["final_norm"]}, y.astype(jnp.float32)
         )
         return self.decoder.apply({"params": params["decoder"]}, y)
+
+
+class PipelinedViTFlax:
+    """Flax-signature facade over :class:`PipelinedViT`.
+
+    Exposes ``init(rngs, x, train=...)`` / ``apply(variables, x, ...)`` so the
+    generic training machinery (train/loop.py create_train_state +
+    make_eval_step, parallel/sharded.py make_sharded_train_step, the
+    trainer's viz/decode paths) drives the pipelined model unchanged —
+    pipeline parallelism becomes a Trainer config knob (``pipeline_stages``)
+    instead of a separate code path.
+
+    Batches whose size doesn't divide into ``num_microbatches x dp`` (e.g.
+    the trailing val batch) fall back to the numerically-identical
+    sequential forward; staged params are gathered by GSPMD for that call.
+    Dropout inside the trunk is deterministic-off (see module docstring),
+    so the ``rngs``/``train`` arguments are accepted and ignored.
+    """
+
+    def __init__(self, pipe: PipelinedViT):
+        self.pipe = pipe
+
+    def init(self, rngs, x, *, train: bool = False) -> dict:
+        del train
+        key = rngs["params"] if isinstance(rngs, dict) else rngs
+        assert x.shape[1] == self.pipe.image_hw and (
+            x.shape[-1] == self.pipe.in_channels
+        ), (
+            f"sample batch {x.shape} does not match the pipelined model "
+            f"({self.pipe.image_hw}px, {self.pipe.in_channels}ch)"
+        )
+        return {"params": self.pipe.init(key)}
+
+    def apply(self, variables: dict, x: jnp.ndarray, *, train: bool = False,
+              rngs=None, mutable=None, **_) -> jnp.ndarray:
+        del train, rngs
+        params = variables["params"]
+        M = self.pipe.num_microbatches
+        dp = int(self.pipe.mesh.shape[DATA_AXIS])
+        if x.shape[0] % (M * dp) == 0:
+            out = self.pipe.apply(params, x)
+        else:
+            out = self.pipe.apply_sequential(params, x)
+        return (out, {}) if mutable else out
+
+
+def shard_state_pp(mesh: Mesh, state, cfg=None):
+    """Place a TrainState for (data, pipe) training.
+
+    Block stacks (and their Adam moments — ``optax.tree_map_params``) shard
+    their leading layer axis over ``pipe``; embed/final_norm/decoder and
+    everything else replicate. The result feeds the unchanged
+    :func:`..parallel.sharded.make_sharded_train_step`.
+    """
+    from ..train.loop import create_optimizer
+
+    repl = NamedSharding(mesh, P())
+    staged = NamedSharding(mesh, P(PIPE_AXIS))
+
+    def specs_of(params: dict) -> dict:
+        return {
+            k: jax.tree_util.tree_map(
+                lambda _: staged if k == "blocks" else repl, sub
+            )
+            for k, sub in params.items()
+        }
+
+    specs = specs_of(state.params)
+    put = lambda x, s: jax.device_put(x, s)
+    params = jax.tree_util.tree_map(put, state.params, specs)
+
+    if cfg is not None:
+        tx = create_optimizer(cfg)
+        opt_state = optax.tree_map_params(
+            tx, put, state.opt_state, specs,
+            transform_non_params=lambda x: jax.device_put(x, repl),
+        )
+    else:
+        opt_state = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, repl), state.opt_state
+        )
+
+    return state.replace(
+        step=jax.device_put(state.step, repl),
+        params=params,
+        opt_state=opt_state,
+        batch_stats=jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, repl), state.batch_stats
+        ),
+        rng=jax.device_put(state.rng, repl),
+    )
 
 
 def make_pipelined_train_step(model: PipelinedViT, learning_rate: float = 1e-3):

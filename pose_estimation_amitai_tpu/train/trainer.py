@@ -96,9 +96,29 @@ class Trainer:
         sample_batch = self.dataset.gather(np.asarray(sample_ids, np.int32))
         img_shape = sample_batch["image"].shape[1:]
         num_out = sample_batch["confmaps"].shape[-1]
-        self.model = build_model(cfg, img_shape, num_out)
+        if cfg.pipeline_stages > 1:
+            # GPipe pipeline parallelism over the ViT trunk: same generic
+            # train/eval machinery, the model behind it is the pipelined
+            # forward on a (data, pipe) mesh (parallel/pipeline.py).
+            self.model, self.mesh = self._build_pipelined_model(
+                img_shape, num_out
+            )
+        else:
+            self.model = build_model(cfg, img_shape, num_out)
         self.state = create_train_state(self.model, cfg, sample_batch, cfg.seed)
         self._maybe_load_pretrained()
+
+        if cfg.pipeline_stages > 1:
+            from ..parallel.pipeline import shard_state_pp
+            from ..parallel.sharded import make_sharded_train_step
+
+            self.state = shard_state_pp(self.mesh, self.state, cfg)
+            self._sharded_step = make_sharded_train_step(
+                self.model, cfg, self.mesh
+            )
+            self.eval_step = make_eval_step(self.model, cfg)
+            self._finish_init()
+            return
 
         # Multi-chip data parallelism (SURVEY §2.4): with >1 device (or an
         # explicit mesh_shape) batches shard over the mesh's data axis and
@@ -128,6 +148,11 @@ class Trainer:
         else:
             self.train_step = make_train_step(self.model, cfg)
         self.eval_step = make_eval_step(self.model, cfg)
+        self._finish_init()
+
+    def _finish_init(self) -> None:
+        """Model-independent init tail: scheduler, checkpointing, resume."""
+        cfg = self.cfg
         self.scheduler = PlateauScheduler(cfg)
         # 'epochs pointwise loss' (reference config key, parsed but never
         # wired there — tensorflow/train_config.json:11): warm up on heatmap
@@ -151,12 +176,59 @@ class Trainer:
         self.best_loss = float("inf")
         if cfg.resume_from:
             self.state, meta = ckpt.restore_checkpoint(cfg.resume_from, self.state)
+            if cfg.pipeline_stages > 1 and self.mesh is not None:
+                # restore yields host arrays — re-stage blocks over ``pipe``
+                from ..parallel.pipeline import shard_state_pp
+
+                self.state = shard_state_pp(self.mesh, self.state, cfg)
             self.start_epoch = int(meta.get("epoch", -1)) + 1
             self.best_loss = float(meta.get("val_loss", float("inf")))
             if meta.get("scheduler"):
                 self.scheduler.load_state_dict(meta["scheduler"])
             print(f"Resumed from {cfg.resume_from} at epoch {self.start_epoch}",
                   flush=True)
+
+    # ------------------------------------------------------------------
+    def _build_pipelined_model(self, img_shape, num_out):
+        """Build the GPipe-pipelined ViT and its (data, pipe) mesh.
+
+        ``cfg.pipeline_stages`` stages over the transformer trunk, data
+        parallelism over the remaining devices; the facade slots into the
+        generic train/eval steps (parallel/pipeline.py PipelinedViTFlax).
+        """
+        cfg = self.cfg
+        from ..models import vit_single_kwargs
+        from ..parallel.pipeline import (
+            PipelinedViT, PipelinedViTFlax, make_pipeline_mesh,
+        )
+
+        pp = int(cfg.pipeline_stages)
+        n_dev = len(jax.devices())
+        if n_dev % pp:
+            raise ValueError(
+                f"pipeline_stages={pp} must divide the device count {n_dev}"
+            )
+        dp = n_dev // pp
+        M = int(cfg.pipeline_microbatches) or pp
+        if cfg.batch_size % (M * dp):
+            raise ValueError(
+                f"batch_size={cfg.batch_size} must divide into "
+                f"pipeline_microbatches={M} x data-parallel={dp}"
+            )
+        if img_shape[0] != img_shape[1]:
+            raise ValueError(f"pipelined ViT needs square inputs, got {img_shape}")
+        kw = vit_single_kwargs(cfg, num_out)  # raises outside the ViT family
+        kw.pop("dropout", None)  # PP trunk is deterministic-off (pipeline.py)
+        mesh = make_pipeline_mesh(dp, pp)
+        pipe = PipelinedViT(
+            mesh, image_hw=img_shape[0], in_channels=img_shape[-1],
+            num_microbatches=M, **kw,
+        )
+        print(
+            f"pipeline parallelism: {pp} stages x {dp}-way DP, "
+            f"{M} microbatches", flush=True,
+        )
+        return PipelinedViTFlax(pipe), mesh
 
     # ------------------------------------------------------------------
     def _maybe_load_pretrained(self) -> None:
