@@ -62,6 +62,12 @@ class Predictor:
         mesh size."""
         self.cfg = cfg
         self.model = build_model(cfg, image_shape, num_output_channels)
+        if isinstance(params, dict) and "blocks" in params and "embed" in params:
+            # pipeline-parallel-trained ViT checkpoint (stacked block
+            # layout): rearrange to the ViTPoseNet tree for serving
+            from .parallel.pipeline import pipeline_params_to_vit
+
+            params = pipeline_params_to_vit(params)
         self.params = params
         self._image_shape = tuple(image_shape)
         # BatchNorm running stats ride next to params (ResNet /

@@ -270,6 +270,53 @@ class PipelinedViT:
         return self.decoder.apply({"params": params["decoder"]}, y)
 
 
+def pipeline_params_to_vit(params: dict) -> dict:
+    """Convert a pipelined checkpoint to the ViTPoseNet param layout.
+
+    The pipelined model stacks block params on a leading layer axis under
+    ``blocks`` (init above); ViTPoseNet (models/vit.py) names them
+    ``transformer/attn{i}``/``ff{i}``. Same architecture, same math — this
+    is pure tree rearrangement, so PP-trained checkpoints serve through the
+    standard inference/export path (infer.Predictor detects the layout).
+    """
+    leaves = jax.tree_util.tree_leaves(params["blocks"])
+    depth = int(leaves[0].shape[0])
+    transformer: dict = {}
+    for i in range(depth):
+        for name in ("attn", "ff"):
+            transformer[f"{name}{i}"] = jax.tree_util.tree_map(
+                lambda x: x[i], params["blocks"][name]
+            )
+    transformer["final_norm"] = params["final_norm"]
+    return {
+        "patch_embed": params["embed"],
+        "transformer": transformer,
+        "decoder": params["decoder"],
+    }
+
+
+def vit_params_to_pipeline(params: dict, depth: int) -> dict:
+    """Inverse of :func:`pipeline_params_to_vit`.
+
+    Stacks a ViTPoseNet checkpoint's per-layer block params so a
+    single-chip-trained model can continue training pipelined.
+    """
+    t = params["transformer"]
+    blocks = {
+        name: jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs),
+            *[t[f"{name}{i}"] for i in range(depth)],
+        )
+        for name in ("attn", "ff")
+    }
+    return {
+        "embed": params["patch_embed"],
+        "blocks": blocks,
+        "final_norm": t["final_norm"],
+        "decoder": params["decoder"],
+    }
+
+
 class PipelinedViTFlax:
     """Flax-signature facade over :class:`PipelinedViT`.
 

@@ -61,6 +61,48 @@ def test_pipelined_trainer_trains_and_resumes(tmp_path, arrays):
     assert np.isfinite(history2["train_loss"][0])
 
 
+@pytest.mark.quick
+def test_pipeline_checkpoint_serves_as_vitpose():
+    """PP param layout converts to ViTPoseNet's and computes the same fn.
+
+    Proves (a) PP-trained checkpoints serve through the standard inference
+    path and (b) the pipelined model IS the registry architecture.
+    """
+    import jax.numpy as jnp
+
+    from pose_estimation_amitai_tpu.models.vit import ViTPoseNet
+    from pose_estimation_amitai_tpu.parallel.pipeline import (
+        PipelinedViT, make_pipeline_mesh, pipeline_params_to_vit,
+        vit_params_to_pipeline,
+    )
+
+    mesh = make_pipeline_mesh(2, 4)
+    pipe = PipelinedViT(
+        mesh, image_hw=48, in_channels=4, out_channels=6, patch_size=16,
+        dim=32, depth=4, heads=2, dim_head=16, mlp_expand=2,
+    )
+    params = pipe.init(jax.random.key(0))
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal((2, 48, 48, 4)), jnp.float32
+    )
+    ref = np.asarray(jax.jit(pipe.apply_sequential)(params, x))
+
+    vit = ViTPoseNet(out_channels=6, patch_size=16, dim=32, depth=4, heads=2,
+                     dim_head=16, mlp_expand=2)
+    out = np.asarray(
+        jax.jit(lambda p, x: vit.apply({"params": p}, x, train=False))(
+            pipeline_params_to_vit(params), x
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=0, atol=2e-2)
+
+    # round-trip back to the stacked layout
+    rt = vit_params_to_pipeline(pipeline_params_to_vit(params), depth=4)
+    for a, b in zip(jax.tree_util.tree_leaves(rt),
+                    jax.tree_util.tree_leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_pipeline_stages_rejects_non_vit(tmp_path, arrays):
     with pytest.raises(ValueError, match="ViT"):
         Trainer(
