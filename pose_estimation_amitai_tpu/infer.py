@@ -20,6 +20,7 @@ Layout: NHWC frames (B, H, W, C) exactly as the training pipeline emits them.
 
 from __future__ import annotations
 
+from collections.abc import Mapping
 from functools import partial
 
 import numpy as np
@@ -31,6 +32,14 @@ from .config import Config
 from .models import build_model
 from .ops import geometry, peaks
 from .train import checkpoint as ckpt
+
+
+def _is_pipeline_layout(params) -> bool:
+    """True for a pipeline-parallel-trained ViT param tree (stacked
+    ``blocks`` layout, parallel/pipeline.py) in any Mapping flavour."""
+    return isinstance(params, Mapping) and (
+        "blocks" in params and "embed" in params
+    )
 
 
 class Predictor:
@@ -62,7 +71,7 @@ class Predictor:
         mesh size."""
         self.cfg = cfg
         self.model = build_model(cfg, image_shape, num_output_channels)
-        if isinstance(params, dict) and "blocks" in params and "embed" in params:
+        if _is_pipeline_layout(params):
             # pipeline-parallel-trained ViT checkpoint (stacked block
             # layout): rearrange to the ViTPoseNet tree for serving
             from .parallel.pipeline import pipeline_params_to_vit
@@ -196,7 +205,17 @@ class Predictor:
             jnp.zeros((1, *image_shape), jnp.float32),
             train=False,
         )["params"]
-        params, batch_stats = ckpt.load_variables(checkpoint_path, template)
+        # restore raw first: a pipeline-parallel-trained ViT checkpoint has
+        # the stacked block layout and must be rearranged BEFORE the
+        # template restore (which would otherwise fail on mismatched keys)
+        params, batch_stats = ckpt.load_variables(checkpoint_path)
+        if _is_pipeline_layout(params):
+            from .parallel.pipeline import pipeline_params_to_vit
+
+            params = pipeline_params_to_vit(params)
+        from flax import serialization
+
+        params = serialization.from_state_dict(template, params)
         kw.setdefault("batch_stats", batch_stats)
         return cls(cfg, params, image_shape, num_output_channels, **kw)
 

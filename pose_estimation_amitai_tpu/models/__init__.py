@@ -68,6 +68,29 @@ def augmentation_views(model_type: str) -> int:
     return 1
 
 
+def _vit_arch_kwargs(cfg: Config, num_output_channels: int) -> dict[str, Any]:
+    """Shared ViT architecture kwargs (single-view + 4-cam families).
+
+    Dropout is deliberately NOT threaded: the reference ViT paths run with
+    dropout 0.0 (pytorch/VITs.py:197-229 defaults; ``dropout_ratio`` in the
+    config dialect feeds the CNN encoder stages only,
+    tensorflow/Network.py:416-447), so ViTPoseNet keeps its 0.0 default.
+    """
+    # pytorch/VITs.py:212: dim_head = projection_dim if config["dim head"] else 64
+    dim_head = cfg.projection_dim if cfg.dim_head else 64
+    return dict(
+        out_channels=num_output_channels,
+        patch_size=cfg.patch_size,
+        dim=cfg.projection_dim,
+        depth=cfg.transformer_layers,
+        heads=cfg.num_heads,
+        dim_head=dim_head,
+        mlp_expand=cfg.fully_connected_expand,
+        kernel_size=cfg.kernel_size,
+        dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
+    )
+
+
 def vit_single_kwargs(cfg: Config, num_output_channels: int) -> dict[str, Any]:
     """ViT architecture kwargs for ``cfg`` (single-view heatmap family).
 
@@ -82,20 +105,8 @@ def vit_single_kwargs(cfg: Config, num_output_channels: int) -> dict[str, Any]:
             f"pipeline_stages requires a single-view ViT model type, got "
             f"{cfg.model_type!r} (supported: {sorted(_VIT_SINGLE)})"
         )
-    dim_head = cfg.projection_dim if cfg.dim_head else 64
-    return dict(
-        out_channels=num_output_channels,
-        patch_size=cfg.patch_size,
-        dim=cfg.projection_dim,
-        depth=cfg.transformer_layers,
-        heads=cfg.num_heads,
-        dim_head=dim_head,
-        mlp_expand=cfg.fully_connected_expand,
-        kernel_size=cfg.kernel_size,
-        dropout=cfg.dropout_ratio,
-        flavor=cfg.arch_flavor,
-        dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
-    )
+    return dict(_vit_arch_kwargs(cfg, num_output_channels),
+                flavor=cfg.arch_flavor)
 
 
 def build_model(
@@ -120,19 +131,7 @@ def build_model(
         flavor=cfg.arch_flavor,
         dtype=dtype,
     )
-    # pytorch/VITs.py:212: dim_head = projection_dim if config["dim head"] else 64
-    dim_head = cfg.projection_dim if cfg.dim_head else 64
-    vit_kw: dict[str, Any] = dict(
-        out_channels=num_output_channels,
-        patch_size=cfg.patch_size,
-        dim=cfg.projection_dim,
-        depth=cfg.transformer_layers,
-        heads=cfg.num_heads,
-        dim_head=dim_head,
-        mlp_expand=cfg.fully_connected_expand,
-        kernel_size=cfg.kernel_size,
-        dtype=dtype,
-    )
+    vit_kw = _vit_arch_kwargs(cfg, num_output_channels)
 
     if mt in _MULTICAM_4:
         return MultiCamNet(num_cams=4, do_attention=cfg.do_attention, **cnn_kw)

@@ -83,7 +83,17 @@ def _device_grid(shape: tuple[int, ...], devices: list) -> np.ndarray:
         from jax.experimental import mesh_utils
 
         return mesh_utils.create_device_mesh(shape, devices=devs)
-    except Exception:
+    except Exception as e:
+        # Expected for CPU test meshes / device subsets where topology is
+        # meaningless; on real TPU the fallback costs multi-hop ppermute
+        # rings, so losing it must be visible, not silent.
+        if getattr(devs[0], "platform", "") == "tpu":
+            print(
+                f"[mesh] create_device_mesh{shape} failed ({e!r}); falling "
+                "back to enumeration order — pipe/seq ring hops may span "
+                "multiple ICI links",
+                flush=True,
+            )
         return np.asarray(devs).reshape(shape)
 
 

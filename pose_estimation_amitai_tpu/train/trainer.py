@@ -203,7 +203,17 @@ class Trainer:
         )
 
         pp = int(cfg.pipeline_stages)
-        n_dev = len(jax.devices())
+        # mesh_shape restricts the device count here exactly as in the
+        # DP/TP branch; default = every visible device
+        n_dev = (
+            int(np.prod(cfg.mesh_shape)) if cfg.mesh_shape
+            else len(jax.devices())
+        )
+        if n_dev > len(jax.devices()):
+            raise ValueError(
+                f"mesh_shape={cfg.mesh_shape} needs {n_dev} devices, have "
+                f"{len(jax.devices())}"
+            )
         if n_dev % pp:
             raise ValueError(
                 f"pipeline_stages={pp} must divide the device count {n_dev}"
@@ -218,7 +228,6 @@ class Trainer:
         if img_shape[0] != img_shape[1]:
             raise ValueError(f"pipelined ViT needs square inputs, got {img_shape}")
         kw = vit_single_kwargs(cfg, num_out)  # raises outside the ViT family
-        kw.pop("dropout", None)  # PP trunk is deterministic-off (pipeline.py)
         mesh = make_pipeline_mesh(dp, pp)
         pipe = PipelinedViT(
             mesh, image_hw=img_shape[0], in_channels=img_shape[-1],

@@ -60,6 +60,17 @@ def test_pipelined_trainer_trains_and_resumes(tmp_path, arrays):
     assert len(history2["train_loss"]) == 1
     assert np.isfinite(history2["train_loss"][0])
 
+    # the standard serving entry point loads the PP-layout checkpoint
+    from pose_estimation_amitai_tpu.infer import Predictor
+
+    n_out = trainer.model.pipe.out_channels
+    pred = Predictor.from_checkpoint(
+        _cfg(tmp_path), trainer.run_path, image_shape=(48, 48, 4),
+        num_output_channels=n_out, chunk_size=4,
+    )
+    pts = pred(np.zeros((2, 48, 48, 4), np.float32))
+    assert pts.shape == (2, 3, n_out)
+
 
 @pytest.mark.quick
 def test_pipeline_checkpoint_serves_as_vitpose():
@@ -115,3 +126,31 @@ def test_pipeline_stages_rejects_bad_batch(tmp_path, arrays):
     # batch 6 does not divide microbatches(4) x dp(2)
     with pytest.raises(ValueError, match="batch_size"):
         Trainer(_cfg(tmp_path, batch_size=6), arrays=arrays)
+
+
+def test_pipeline_honors_mesh_shape(tmp_path, arrays):
+    """mesh_shape restricts the device count in the PP branch too."""
+    trainer = Trainer(
+        _cfg(tmp_path, mesh_shape=(4,), pipeline_stages=4, batch_size=4,
+             epochs=1),
+        arrays=arrays,
+    )
+    assert trainer.mesh.devices.size == 4
+    with pytest.raises(ValueError, match="devices"):
+        Trainer(
+            _cfg(tmp_path, mesh_shape=(16,), pipeline_stages=4),
+            arrays=arrays,
+        )
+
+
+@pytest.mark.quick
+def test_vit_dropout_stays_zero():
+    """Reference parity: the ViT families train with dropout 0.0 — the
+    config's dropout_ratio feeds the CNN encoder stages only
+    (pytorch/VITs.py:197-229 defaults vs tensorflow/Network.py:416-447)."""
+    from pose_estimation_amitai_tpu.models import build_model
+
+    cfg = Config(model_type=C.MODEL_18_POINTS_PER_WING_VIT)
+    assert build_model(cfg, (192, 192, 4), 18).dropout == 0.0
+    cfg4 = Config(model_type=C.ALL_CAMS_18_POINTS_VIT)
+    assert build_model(cfg4, (192, 192, 16), 72).dropout == 0.0
