@@ -127,7 +127,7 @@ class Preprocessor:
         self.fly_with_right_mask = np.append(self.time_channels, self.right_mask_ind)
 
         self._derive_points_3d()
-        self.cropzone_per_wing = np.repeat(self.cropzone, 2, axis=0)
+        self.cropzone_per_wing = self._tile_cropzone_per_wing()
         self.box_orig: np.ndarray | None = None
         self.confmaps_orig: np.ndarray | None = None
         self.num_samples: int | None = None
@@ -310,7 +310,18 @@ class Preprocessor:
                  np.repeat(self.cropzone[-1:], extra, axis=0)], axis=0
             )
         self.num_frames = self.box.shape[0]
-        self.cropzone_per_wing = np.repeat(self.cropzone, 2, axis=0)
+        self.cropzone_per_wing = self._tile_cropzone_per_wing()
+
+    def _tile_cropzone_per_wing(self) -> np.ndarray:
+        """Crop offsets aligned with per-wing SAMPLE order.
+
+        Per-wing samples are BLOCK-ordered — all left wings then all right
+        wings (``split_per_wing`` concatenates on axis 0, matching
+        ``points_3d_per_wing``) — so the cropzone duplicates by tiling,
+        not by ``np.repeat`` interleaving (which would hand nearly every
+        sample the wrong frame's crop offsets).
+        """
+        return np.concatenate([self.cropzone, self.cropzone], axis=0)
 
     def get_box(self) -> np.ndarray:
         return self.box
@@ -489,8 +500,15 @@ class Preprocessor:
 
     # -- mask repair ---------------------------------------------------------
     def fix_movie_masks(self, box: np.ndarray) -> tuple[np.ndarray, list]:
-        """Fill empty wing masks from +-5 neighbouring frames
-        (pytorch/preprocessor.py:348-388)."""
+        """Fill empty wing masks from neighbouring frames
+        (pytorch/preprocessor.py:348-388).
+
+        The search window reproduces the reference EXACTLY, including its
+        asymmetry: up to 5 frames back (never reaching frame 0 for
+        frame <= 5 — exclusive stop) and 4 frames forward (exclusive
+        ``frame + search_range``). Kept bug-for-bug so repaired datasets
+        match the reference's.
+        """
         search_range = 5
         nf = box.shape[0]
         problematic = []
@@ -562,7 +580,10 @@ class Preprocessor:
         assert self.box_orig is not None, "split_per_wing must run first"
         body, _ = self.get_body_masks()
         t = self.num_time_channels
-        fly = self.box_orig[..., 1] != 0
+        # the focal (centre) time channel — index 1 of 3 in the reference
+        # (tensorflow/preprocessor.py:626); generalises to channel 0 under
+        # single_time_channel, where a hard-coded 1 would hit the left mask
+        fly = self.box_orig[..., t // 2] != 0
         left = self.box_orig[..., t].astype(bool)
         right = self.box_orig[..., t + 1].astype(bool)
         sizes = np.zeros(body.shape[:2] + (2,), np.float64)
@@ -630,10 +651,12 @@ class Preprocessor:
         right_cm = np.concatenate((wings_cm[nf:], head_tail), axis=-1)
         self.confmaps = np.concatenate((left_cm, right_cm), axis=0)
         self._adjust_masks_per_wing()
-        # net wing sizes rank the cameras (tensorflow/preprocessor.py:552-558)
-        wings_sizes_all = self._per_wing_net_sizes()
+        # net wing sizes rank the cameras (tensorflow/preprocessor.py:552-558);
+        # the jitted body-mask morphology pass is only paid when a ranking
+        # model actually consumes it
         if self.model_type in (C.MODEL_18_POINTS_3_GOOD_CAMERAS,
                                C.MODEL_18_POINTS_3_GOOD_CAMERAS_VIT):
+            wings_sizes_all = self._per_wing_net_sizes()
             self.box, self.confmaps, _, _, _ = self.take_n_good_cameras(
                 self.box, self.confmaps, 3, wing_sizes=wings_sizes_all
             )
@@ -739,9 +762,17 @@ class Preprocessor:
 
     def sort_by_wing_size(self) -> None:
         """Curriculum ordering: big wings first
-        (pytorch/preprocessor.py:530-536)."""
+        (pytorch/preprocessor.py:530-536).
+
+        The reference hard-codes channels 3 (mask) and 1 (focal frame) for
+        its 3-time-channel layout; derived indices keep the same pair and
+        survive ``single_time_channel``.
+        """
         key = -np.count_nonzero(
-            np.logical_and(self.box[..., 3], self.box[..., 1]), axis=(1, 2)
+            np.logical_and(
+                self.box[..., -1], self.box[..., self.num_time_channels // 2]
+            ),
+            axis=(1, 2),
         )
         order = np.argsort(key, kind="stable")
         self.box = self.box[order]

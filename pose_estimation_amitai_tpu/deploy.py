@@ -116,10 +116,12 @@ class ExportedPredictor:
                     [chunk, np.zeros((pad, *chunk.shape[1:]), np.float32)]
                 )
             outs.append(np.asarray(self._run(jnp.asarray(chunk)))[: cs - pad])
-        return (
-            np.concatenate(outs, axis=0)
-            if outs else np.zeros((0, 3, 1), np.float32)
-        )
+        if outs:
+            return np.concatenate(outs, axis=0)
+        # empty input: keep the exported output rank/K so callers can
+        # concatenate per-segment results
+        out_shape = self.header["out_shape"]
+        return np.zeros((0, *out_shape[1:]), np.float32)
 
 
 def load_exported(path: str) -> ExportedPredictor:

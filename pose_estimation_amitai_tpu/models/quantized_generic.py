@@ -172,7 +172,10 @@ def calibrate_apply(
     for inputs in sample_inputs:
         for k, v in traced_amax(tuple(inputs)).items():
             collect[k] = max(collect.get(k, 0.0), float(v))
-    return {k: v / 127.0 for k, v in collect.items()}
+    # floor like _weight_scales: an all-zero calibration input for a layer
+    # (dead branch / blank sample) must not produce scale 0 -> 1/0 in
+    # _quant_tensor
+    return {k: jnp.maximum(v / 127.0, 1e-12) for k, v in collect.items()}
 
 
 def make_quantized_apply(

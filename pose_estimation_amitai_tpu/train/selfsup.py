@@ -141,7 +141,10 @@ class SelfSupTrainer:
             flavor=cfg.arch_flavor,
             dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
         )
-        self.tx = optax.adam(cfg.learning_rate)
+        # one source of optimizer defaults for every training path
+        from .loop import create_optimizer
+
+        self.tx = create_optimizer(cfg)
         rng = jax.random.key(cfg.seed)
         sample = jnp.zeros((1, *crops.shape[1:3], 4), jnp.float32)
         params = self.model.init(
@@ -206,10 +209,15 @@ class SelfSupTrainer:
                 rng=rng,
             ), loss
 
+        cfg_seed = int(self.cfg.seed)
+
         @jax.jit
         def eval_step(state: TrainState, data, ids):
-            # fixed fold constant -> deterministic validation holes
-            key = jax.random.fold_in(state.rng, 0x7FFFFFFF)
+            # key derived from the config seed alone (NOT state.rng, which
+            # evolves every step) -> validation holes/augmentations are
+            # identical across epochs and resumes, so val_loss movement is
+            # model quality, not hole-difficulty noise
+            key = jax.random.fold_in(jax.random.key(cfg_seed), 0x7FFFFFFF)
             box = jnp.take(data, ids, axis=0)
             holed, clean = prepare(key, box)
             recon = model.apply({"params": state.params}, holed, train=False)
@@ -244,12 +252,13 @@ class SelfSupTrainer:
             self.rng.shuffle(self.train_inds)
             running = 0.0
             for s in range(steps):
-                ids = np.resize(
-                    self.train_inds[s * bs : (s + 1) * bs]
-                    if len(self.train_inds) >= bs
-                    else self.train_inds,
-                    bs,
-                ).astype(np.int32)
+                # wrap-around index ring (simple_data_generator.py:31-70):
+                # an out-of-range slice must cycle the shuffled train set,
+                # never degenerate to sample 0 (np.resize of an empty slice
+                # yields zeros)
+                ids = self.train_inds[
+                    (s * bs + np.arange(bs)) % len(self.train_inds)
+                ].astype(np.int32)
                 self.state, loss = self.train_step(
                     self.state, self.data, jnp.asarray(ids),
                     self.scheduler.lr_scale,

@@ -174,6 +174,29 @@ def test_single_time_channel(arrays):
     assert p.get_box().shape[-1] == 2
 
 
+def test_single_time_channel_ranking_and_curriculum(arrays):
+    """Net-wing ranking + curriculum sort with the 2-channel per-wing
+    layout: channel indices must be derived, not the reference's
+    hard-coded 3-time-channel values (which index out of bounds here)."""
+    p = _pre(arrays, C.MODEL_18_POINTS_3_GOOD_CAMERAS,
+             single_time_channel=True, do_curriculum_learning=True)
+    box = p.get_box()
+    assert box.shape[-1] == 2 and box.shape[0] == 2 * 5 * 3
+
+
+def test_cropzone_per_wing_follows_sample_order(arrays):
+    """Per-wing samples are block-ordered (all left wings, then all right
+    wings — same contract test_points3d_matches_sample_channels pins), so
+    sample wf's crop offsets are frame ``wf % F``'s."""
+    p = _pre(arrays, C.MODEL_18_POINTS_PER_WING)
+    cz = p.get_cropzone()
+    czpw = p.get_cropzone_per_wing()
+    F = cz.shape[0]
+    assert czpw.shape[0] == 2 * F
+    for wf in range(2 * F):
+        np.testing.assert_array_equal(czpw[wf], cz[wf % F])
+
+
 def test_mix_with_test(arrays, tmp_path):
     from pose_estimation_amitai_tpu.data.synthetic import write_synthetic_h5
 
