@@ -67,13 +67,30 @@ def _preprocessed(args):
     from .data.preprocess import Preprocessor
     from .infer import Predictor
 
+    from .models import needs_camera_matrices
+
     cfg = Config.from_json(args.config).replace(
         data_path=args.data, debug_mode=False
     )
     pre = Preprocessor(cfg)
     pre.do_preprocess()
-    box = pre.get_box().astype(np.float32)
-    confmaps = pre.get_confmaps().astype(np.float32)
+    cameras = None
+    if needs_camera_matrices(cfg.model_type):
+        # disentangled family: same sample assembly + per-sample crop-
+        # adjusted cameras the trainer fed (data/pipeline.py build_dataset)
+        from .data.pipeline import _assemble_disentangled, _camera_matrix_arrays
+
+        box, confmaps = _assemble_disentangled(pre)
+        box = box.astype(np.float32)
+        confmaps = confmaps.astype(np.float32)
+        P, P_inv = _camera_matrix_arrays(pre)
+        cameras = (
+            np.concatenate([P, P], axis=0),
+            np.concatenate([P_inv, P_inv], axis=0),
+        )
+    else:
+        box = pre.get_box().astype(np.float32)
+        confmaps = pre.get_confmaps().astype(np.float32)
     use_q = bool(getattr(args, "quantized", False))
     predictor = Predictor.from_checkpoint(
         cfg, args.checkpoint,
@@ -83,6 +100,7 @@ def _preprocessed(args):
         decode=getattr(args, "decode", "argmax"),
         use_quantized=use_q,
         calibration_frames=box[:32] if use_q else None,
+        cameras=cameras,
     )
     return cfg, pre, box, confmaps, predictor
 
@@ -96,9 +114,15 @@ def cmd_infer(args) -> int:
 
     out = {"points_2d": pts}
     # Per-wing flagship layout: samples are (2F wing-frames) x cams; lift
-    # each wing-frame's peaks to 3D through the DLT cameras.
+    # each wing-frame's peaks to 3D through the DLT cameras. Covers every
+    # model type that keeps the 4-camera per-wing sample layout (CNN, ViT,
+    # GPTNET, all-points) — the 3-good-cameras variants drop a
+    # frame-dependent camera so their samples cannot be paired with fixed
+    # DLT matrices.
     per_wing_types = (
-        C.MODEL_18_POINTS_PER_WING, C.PER_WING_MODEL, C.ALL_POINTS_MODEL,
+        C.MODEL_18_POINTS_PER_WING, C.MODEL_18_POINTS_PER_WING_VIT,
+        C.MODEL_18_POINTS_PER_WING_VIT_TO_POINTS, C.GPTNET,
+        C.PER_WING_MODEL, C.ALL_POINTS_MODEL, C.ALL_POINTS_MODEL_VIT,
     )
     ncams = 4
     if (
@@ -108,8 +132,8 @@ def cmd_infer(args) -> int:
     ):
         per_cam = pts.reshape(-1, ncams, 3, pts.shape[-1])
         pts2d = np.transpose(per_cam[:, :, :2, :], (0, 1, 3, 2))  # (2F,4,K,2)
-        cz = pre.get_cropzone()
-        cz_all = np.concatenate([cz, cz], axis=0)[: pts2d.shape[0]]
+        # crop offsets in per-wing sample order (block-tiled, preprocess.py)
+        cz_all = pre.get_cropzone_per_wing()[: pts2d.shape[0]]
         out["points_3d"] = lift_to_3d(
             pts2d, cz_all, pre.camera_matrices
         )

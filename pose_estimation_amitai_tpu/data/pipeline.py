@@ -89,6 +89,11 @@ class DeviceDataset:
 
     def next_batch_indices(self, batch_size: int) -> np.ndarray:
         """Wrap-around batch ring (pytorch/Datagenerators.py:43-65)."""
+        if len(self._epoch_order) == 0:
+            raise ValueError(
+                "empty train split: val_fraction leaves no training "
+                "samples (the wrap-around ring would spin forever)"
+            )
         out: list[int] = []
         while len(out) < batch_size:
             take = min(batch_size - len(out), len(self._epoch_order) - self._cursor)

@@ -59,6 +59,7 @@ class Predictor:
         decode: str = "argmax",
         mesh=None,
         batch_stats=None,
+        cameras=None,
     ):
         """``decode``: 'argmax' (tf_find_peaks parity), 'soft' — the
         differentiable soft-argmax decoder (pytorch/utils.py:47-83) — or
@@ -68,9 +69,24 @@ class Predictor:
 
         ``mesh``: optional ``jax.sharding.Mesh`` — frames shard over the
         ``data`` axis (params replicated); chunk_size must divide by the
-        mesh size."""
+        mesh size.
+
+        ``cameras``: (P, P_inv) per-SAMPLE crop-adjusted camera arrays
+        ((S, 4, 3, 4), (S, 4, 4, 3)) — required by the camera-matrix
+        (disentangled FTL) model family, whose forward takes
+        (x, P, P_inv); samples passed to ``__call__`` must align with
+        these rows."""
+        from .models import needs_camera_matrices
+
         self.cfg = cfg
         self.model = build_model(cfg, image_shape, num_output_channels)
+        self._needs_cams = needs_camera_matrices(cfg.model_type)
+        self.cameras = None
+        if cameras is not None:
+            self.cameras = (
+                np.asarray(cameras[0], np.float32),
+                np.asarray(cameras[1], np.float32),
+            )
         if _is_pipeline_layout(params):
             # pipeline-parallel-trained ViT checkpoint (stacked block
             # layout): rearrange to the ViTPoseNet tree for serving
@@ -117,6 +133,23 @@ class Predictor:
                 lambda v: jnp.asarray(v, jnp.float32), self.variables
             )
             f32_params = f32_variables["params"]
+            if self._needs_cams:
+                # camera-matrix models calibrate on (frames, P, P_inv)
+                # positional tuples
+                assert self.cameras is not None, (
+                    "quantized camera-matrix serving needs cameras"
+                )
+                Pc, Pic = self.cameras
+                n = min(len(np.asarray(calibration_frames)), 32)
+                fr = np.asarray(calibration_frames)
+                calibration_frames = [
+                    (
+                        jnp.asarray(fr[i : i + 8], jnp.float32),
+                        jnp.asarray(Pc[i : i + 8], jnp.float32),
+                        jnp.asarray(Pic[i : i + 8], jnp.float32),
+                    )
+                    for i in range(0, n, 8)
+                ]
             if is_basic:
                 # hand-scheduled int8 BasicNet with int8-resident
                 # activations (fastest flagship path: HBM-bound workload,
@@ -143,20 +176,20 @@ class Predictor:
                     out_dtype=jnp.bfloat16,
                 )
 
-        def forward(variables, frames):
+        def forward(variables, frames, *cams):
             if quantized_fwd is not None:
-                return quantized_fwd(frames)
+                return quantized_fwd(frames, *cams)
             if fused_ok:
                 from .models.fast_infer import basicnet_apply_fused
 
                 return basicnet_apply_fused(
                     self.model, variables["params"], frames
                 )
-            return self.model.apply(variables, frames, train=False)
+            return self.model.apply(variables, frames, *cams, train=False)
 
         @jax.jit
-        def _run(variables, frames):
-            maps = forward(variables, frames)
+        def _run(variables, frames, *cams):
+            maps = forward(variables, frames, *cams)
             if decode == "soft":
                 xy = peaks.find_peaks_soft_argmax(maps)  # (B, K, 2)
                 vals = jnp.max(maps.reshape(maps.shape[0], -1,
@@ -199,11 +232,18 @@ class Predictor:
         through automatically."""
         if isinstance(cfg, str):
             cfg = Config.from_json(cfg)
+        from .models import needs_camera_matrices
+
         model = build_model(cfg, image_shape, num_output_channels)
+        init_args = [jnp.zeros((1, *image_shape), jnp.float32)]
+        if needs_camera_matrices(cfg.model_type):
+            # camera-matrix (FTL) family: forward takes (x, P, P_inv)
+            init_args += [
+                jnp.zeros((1, 4, 3, 4), jnp.float32),
+                jnp.zeros((1, 4, 4, 3), jnp.float32),
+            ]
         template = model.init(
-            {"params": jax.random.key(0)},
-            jnp.zeros((1, *image_shape), jnp.float32),
-            train=False,
+            {"params": jax.random.key(0)}, *init_args, train=False
         )["params"]
         # restore raw first: a pipeline-parallel-trained ViT checkpoint has
         # the stacked block layout and must be rearranged BEFORE the
@@ -228,15 +268,35 @@ class Predictor:
         """
         n = frames.shape[0]
         cs = self.chunk_size
+        if self._needs_cams and self.cameras is None:
+            raise ValueError(
+                f"{self.cfg.model_type} takes camera matrices: construct "
+                "the Predictor with cameras=(P, P_inv) per sample"
+            )
         outs, maps = [], []
         for i in range(0, n, cs):
             chunk = frames[i : i + cs]
             pad = cs - chunk.shape[0]
+            cams = ()
+            if self._needs_cams:
+                # pad with the last row (NOT zeros: a zero camera feeds
+                # garbage through FTL; padded outputs are dropped anyway)
+                cams = tuple(
+                    np.concatenate(
+                        [c[i : i + cs]]
+                        + ([np.repeat(c[i : i + cs][-1:], pad, axis=0)]
+                           if pad else [])
+                    )
+                    for c in self.cameras
+                )
             if pad:
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad, *chunk.shape[1:]), chunk.dtype)]
                 )
-            res = self._run(self.variables, self._stage(chunk))
+            res = self._run(
+                self.variables, self._stage(chunk),
+                *(jnp.asarray(c) for c in cams),
+            )
             if self.return_heatmaps:
                 m, p = res
                 maps.append(np.asarray(m)[: cs - pad])
@@ -261,6 +321,10 @@ class Predictor:
         100k-frame movie does NOT fit in HBM whole). Tail via __call__.
         """
         assert not self.return_heatmaps, "movie path decodes peaks only"
+        if self._needs_cams:
+            # camera-matrix models ride the chunked __call__ (per-chunk
+            # camera slices); no streaming specialisation needed
+            return self.__call__(frames)
         n = frames.shape[0]
         cs = self.chunk_size
         n_full = n // cs

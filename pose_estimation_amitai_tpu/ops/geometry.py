@@ -268,31 +268,43 @@ def crop_adjusted_matrices(
 def compose_affine_into_cameras(
     mats: jax.Array, P: jax.Array, P_inv: jax.Array
 ) -> tuple[jax.Array, jax.Array]:
-    """Fold 2D image-space affines into camera matrices: P' = M @ P.
+    """Fold 2D image-space affines into camera matrices: P' = F @ M @ F @ P.
 
     When a training view is warped by a forward affine M (pixel coords
-    x' = M x, last row (0, 0, 1) so homogeneous scale is preserved), the
-    camera that explains the warped pixels is ``M @ P`` — the FTL projection
-    of any 3D latent then lands on the warped pixels, keeping augmentation
-    geometry-consistent for the disentangled models (the reference's
-    ``CameraMatrixGenerator`` simply never augments,
-    pytorch/Datagenerators.py:242-270; composing lets us augment WITH
-    consistent geometry instead of not at all).
+    p' = M p, last row (0, 0, 1) so homogeneous scale is preserved), the
+    camera that explains the warped pixels keeps the FTL projection of any
+    3D latent on the warped pixels — augmentation stays geometry-consistent
+    for the disentangled models (the reference's ``CameraMatrixGenerator``
+    simply never augments, pytorch/Datagenerators.py:242-270; composing
+    lets us augment WITH consistent geometry instead of not at all).
 
-    For full-row-rank P (3x4), ``pinv(M @ P) = pinv(P) @ inv(M)`` exactly,
+    Convention: the crop-adjusted cameras (:func:`crop_adjusted_matrices`)
+    project to (x, v) with image ROW = 192 - v — the ``uncrop`` y-flip
+    (pytorch/Datagenerators.py:416-424) baked into the dy shift; verified:
+    v = y_full - dy = 192 - row independent of sensor size and crop. The
+    warp M acts on (x, row), so the composition conjugates by the
+    self-inverse flip F = [[1,0,0],[0,-1,192],[0,0,1]]: P' = (F M F) P.
+    Plain M @ P would encode a rotation of -theta in the camera's
+    convention — per-sample camera/target inconsistency.
+
+    For full-row-rank P (3x4), ``pinv(A @ P) = pinv(P) @ inv(A)`` exactly,
     so the pseudo-inverse updates without an SVD. Both outputs are
     re-normalised to unit Frobenius norm per camera, matching the
     convention of :func:`crop_adjusted_matrices`
     (pytorch/Datagenerators.py:398-401).
 
     Args:
-      mats: (..., 3, 3) forward affines; P: (..., 3, 4); P_inv: (..., 4, 3)
-        (leading axes broadcast, e.g. (B, V, ...)).
+      mats: (..., 3, 3) forward affines in image (x, row) coords;
+        P: (..., 3, 4); P_inv: (..., 4, 3) (leading axes broadcast,
+        e.g. (B, V, ...)).
 
     Returns:
       (P', P_inv') with the same shapes.
     """
-    mats = mats.astype(jnp.float32)
+    flip = jnp.array(
+        [[1.0, 0.0, 0.0], [0.0, -1.0, 192.0], [0.0, 0.0, 1.0]], jnp.float32
+    )
+    mats = flip @ mats.astype(jnp.float32) @ flip
     new_P = mats @ P.astype(jnp.float32)
     new_P = new_P / jnp.linalg.norm(new_P, axis=(-2, -1), keepdims=True)
     new_P_inv = P_inv.astype(jnp.float32) @ jnp.linalg.inv(mats)

@@ -127,7 +127,11 @@ def find_peaks_soft_argmax(confmaps: jax.Array) -> jax.Array:
     n, h, w, c = confmaps.shape
     y_grid = jnp.linspace(0.0, 1.0, h).reshape(1, h, 1, 1)
     x_grid = jnp.linspace(0.0, 1.0, w).reshape(1, 1, w, 1)
+    # epsilon-guarded: an all-zero (or negative-sum) channel — undetected
+    # keypoint, zero-initialised head — must decode to a finite coordinate,
+    # not NaN that poisons losses/3D lifting downstream
     total = jnp.sum(confmaps, axis=(1, 2))
+    total = jnp.where(jnp.abs(total) < 1e-9, 1e-9, total)
     cx = jnp.sum(x_grid * confmaps, axis=(1, 2)) / total
     cy = jnp.sum(y_grid * confmaps, axis=(1, 2)) / total
     cx = jnp.clip(cx * (w - 1), 0.0, w - 1)
@@ -153,6 +157,10 @@ def marginal_soft_argmax(heatmaps: jax.Array) -> jax.Array:
     lin_y = jnp.arange(1, h + 1, dtype=heatmaps.dtype).reshape(1, h, 1)
     lin_x = jnp.arange(1, w + 1, dtype=heatmaps.dtype).reshape(1, w, 1)
     total = jnp.sum(heatmaps, axis=(1, 2))  # (N, C)
+    # epsilon-guarded: all-zero channels (head_zero_init's exact first
+    # prediction, or an empty GT channel) must not turn pointwise_loss into
+    # NaN on step 1
+    total = jnp.where(jnp.abs(total) < 1e-9, 1e-9, total)
     # sum over W -> row marginal (N, H, C); weight by 1-indexed row coordinate.
     h_y = jnp.sum(lin_y * jnp.sum(heatmaps, axis=2), axis=1) / total
     h_x = jnp.sum(lin_x * jnp.sum(heatmaps, axis=1), axis=1) / total

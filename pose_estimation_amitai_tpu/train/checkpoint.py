@@ -43,9 +43,15 @@ def save_checkpoint(
     val_loss: float,
     scheduler_state: dict[str, Any] | None = None,
     best: bool = False,
+    best_loss: float | None = None,
 ) -> str:
     """Write the full training state (every-epoch policy,
-    pytorch/train_pytorch.py:253-260) or the best-model snapshot."""
+    pytorch/train_pytorch.py:253-260) or the best-model snapshot.
+
+    ``best_loss`` records the best-so-far val loss in the meta so a resumed
+    run keeps the true best marker — recording only this epoch's val_loss
+    would let a worse post-resume epoch overwrite best_model.msgpack.
+    """
     name = BEST_NAME if best else CHECKPOINT_NAME
     path = os.path.join(run_path, name)
     blob = serialization.to_bytes(_state_payload(state))
@@ -57,6 +63,7 @@ def save_checkpoint(
         meta = {
             "epoch": int(epoch),
             "val_loss": float(val_loss),
+            "best_loss": float(val_loss if best_loss is None else best_loss),
             "scheduler": scheduler_state or {},
         }
         with open(os.path.join(run_path, META_NAME), "w") as f:
@@ -110,9 +117,12 @@ class AsyncCheckpointer:
 
 def save_params(path: str, params) -> str:
     """Weights-only snapshot (analog of the per-epoch .h5 weights,
-    tensorflow/CallBacks.py:122-128)."""
-    with open(path, "wb") as f:
+    tensorflow/CallBacks.py:122-128). tmp + rename so a crash mid-write
+    (likelier on the async thread) never leaves a truncated msgpack."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(serialization.to_bytes(params))
+    os.replace(tmp, path)
     return path
 
 

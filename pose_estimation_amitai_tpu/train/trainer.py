@@ -182,7 +182,9 @@ class Trainer:
 
                 self.state = shard_state_pp(self.mesh, self.state, cfg)
             self.start_epoch = int(meta.get("epoch", -1)) + 1
-            self.best_loss = float(meta.get("val_loss", float("inf")))
+            self.best_loss = float(
+                meta.get("best_loss", meta.get("val_loss", float("inf")))
+            )
             if meta.get("scheduler"):
                 self.scheduler.load_state_dict(meta["scheduler"])
             print(f"Resumed from {cfg.resume_from} at epoch {self.start_epoch}",
@@ -374,6 +376,7 @@ class Trainer:
                 self._ckpt_writer.save_checkpoint(
                     self.run_path, self.state, epoch, val_loss,
                     scheduler_state=self.scheduler.state_dict(),
+                    best_loss=self.best_loss,
                 )
 
             self._save_epoch_artifacts(

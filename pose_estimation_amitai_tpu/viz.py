@@ -31,12 +31,22 @@ def show_pred(
     num_points = pred_points.shape[0]
     if num_points > 20:
         pts_per_cam = np.array_split(pred_points, 4)
+        gt_per_cam = (
+            np.array_split(gt_points, 4) if gt_points is not None
+            else [None] * 4
+        )
         images = np.array_split(image, 4, axis=-1)
         fig, axs = plt.subplots(2, 2, figsize=(10, 10))
         axs = axs.ravel()
-        for i, (img, pts) in enumerate(zip(images, pts_per_cam)):
+        for i, (img, pts, gt) in enumerate(
+            zip(images, pts_per_cam, gt_per_cam)
+        ):
             axs[i].imshow(img[..., 1] + 0.5 * img[..., -1])
             axs[i].scatter(pts[:, 0], pts[:, 1], color="red", s=10, marker="o")
+            if gt is not None:
+                axs[i].scatter(
+                    gt[:, 0], gt[:, 1], color="lime", s=10, marker="x"
+                )
             axs[i].axis("off")
     else:
         plt.figure()

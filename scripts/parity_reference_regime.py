@@ -130,13 +130,13 @@ def run(epochs: int | None, out_dir: str | None, arch_flavor: str = "torch",
     _count = {"n": 0}
 
     def _throttled(run_path, state, epoch, val_loss, scheduler_state=None,
-                   best=False):
+                   best=False, **kw):
         if best:
             _count["n"] += 1
             if epoch % 50 != 0:
                 return ""
         return _real_save(run_path, state, epoch, val_loss,
-                          scheduler_state=scheduler_state, best=best)
+                          scheduler_state=scheduler_state, best=best, **kw)
 
     trainer_mod.ckpt.save_checkpoint = _throttled
 

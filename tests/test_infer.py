@@ -231,3 +231,72 @@ def test_from_checkpoint_restores_batch_stats(tmp_path):
     leaf = jax.tree_util.tree_leaves(p.variables["batch_stats"])[0]
     restored = jax.tree_util.tree_leaves(state.batch_stats)[0]
     np.testing.assert_allclose(np.asarray(leaf), np.asarray(restored))
+
+
+def test_disentangled_predictor_end_to_end(tmp_path):
+    """The camera-matrix (FTL) family serves through the standard path:
+    from_checkpoint on a trained run dir, per-sample cameras threaded
+    through the chunked forward, finite L2 stats."""
+    from pose_estimation_amitai_tpu import constants as C
+    from pose_estimation_amitai_tpu.data.pipeline import (
+        _assemble_disentangled, _camera_matrix_arrays,
+    )
+    from pose_estimation_amitai_tpu.train.trainer import Trainer
+
+    arrays = make_synthetic_arrays(num_frames=4, num_points=8, image_size=48)
+    cfg = Config(
+        model_type=C.ALL_CAMS_DISENTANGLED_PER_WING_CNN,
+        epochs=1, batch_size=4, batches_per_epoch=1, num_base_filters=8,
+        base_output_path=str(tmp_path), do_augmentations=False,
+        val_fraction=0.5, seed=0,
+    )
+    trainer = Trainer(cfg, arrays=arrays)
+    trainer.train()
+
+    pre = trainer.preprocessor
+    box, confmaps = _assemble_disentangled(pre)
+    P, P_inv = _camera_matrix_arrays(pre)
+    cams = (np.concatenate([P, P], axis=0), np.concatenate([P_inv, P_inv], axis=0))
+
+    pred = Predictor.from_checkpoint(
+        cfg, trainer.run_path,
+        image_shape=tuple(box.shape[1:]),
+        num_output_channels=confmaps.shape[-1],
+        chunk_size=4, cameras=cams,
+    )
+    stats = evaluate_l2(
+        pred, box.astype(np.float32), confmaps.astype(np.float32)
+    )
+    assert np.isfinite(stats["l2_mean"])
+
+    # cameras are required: a bare call must fail loudly, not crash deep
+    bare = Predictor.from_checkpoint(
+        cfg, trainer.run_path, image_shape=tuple(box.shape[1:]),
+        num_output_channels=confmaps.shape[-1], chunk_size=4,
+    )
+    with pytest.raises(ValueError, match="camera"):
+        bare(box[:2].astype(np.float32))
+
+
+def test_checkpoint_meta_keeps_best_loss(tmp_path):
+    """Resume must restore the best-so-far val loss, not the last epoch's
+    (a worse post-resume epoch would overwrite best_model.msgpack)."""
+    import json as _json
+
+    from pose_estimation_amitai_tpu.train import checkpoint as ckpt
+    from pose_estimation_amitai_tpu.train.loop import (
+        TrainState, create_optimizer, create_train_state,
+    )
+
+    cfg = Config(num_base_filters=8)
+    model = build_model(cfg, (HW, HW, IN_CH), OUT_CH)
+    batch = {
+        "image": jnp.zeros((1, HW, HW, IN_CH)),
+        "confmaps": jnp.zeros((1, HW, HW, OUT_CH)),
+    }
+    state = create_train_state(model, cfg, batch, 0)
+    ckpt.save_checkpoint(str(tmp_path), state, epoch=20, val_loss=0.05,
+                         best_loss=0.01)
+    with open(tmp_path / "checkpoint_meta.json") as f:
+        meta = _json.load(f)
+    assert meta["best_loss"] == 0.01 and meta["val_loss"] == 0.05

@@ -108,14 +108,24 @@ def test_augment_pair_views_split(rng):
 
 
 def test_compose_affine_into_cameras_reprojection():
-    """Folding the image warp into P must keep FTL geometry exact: the
-    projection of a fixed 3D point through P' equals the warped pixel."""
-    rng = np.random.default_rng(0)
-    # plausible cameras: K with principal point, R from QR, t
-    P = rng.normal(size=(2, 4, 3, 4)).astype(np.float32)
-    P = P / np.linalg.norm(P, axis=(-2, -1), keepdims=True)
-    P_inv = np.linalg.pinv(P)
-    P_inv = P_inv / np.linalg.norm(P_inv, axis=(-2, -1), keepdims=True)
+    """Folding the image warp into P must keep FTL geometry exact IN THE
+    PIPELINE'S OWN CONVENTION: the crop-adjusted cameras project to (x, v)
+    with image row = 192 - v (the uncrop y-flip baked into the dy shift),
+    so the folded camera's projection must land on the warped (x, row)
+    pixel after the same flip. Uses real cameras from the synthetic H5
+    contract, not random flip-free P (which cannot catch a convention
+    error)."""
+    from pose_estimation_amitai_tpu.data.synthetic import make_synthetic_arrays
+
+    arrays = make_synthetic_arrays(num_frames=2, num_points=8, image_size=96,
+                                   seed=3)
+    cams = jnp.asarray(arrays["cameras_dlt_array"], jnp.float32)
+    Ks, Rs, ts = jax.vmap(geometry.decompose_camera)(cams)
+    cz = jnp.asarray(arrays["cropZone"], jnp.float32)  # (F, 4, 2)
+    P, P_inv = jax.vmap(
+        lambda c: geometry.crop_adjusted_matrices(Ks, Rs, ts, c)
+    )(cz)
+    P, P_inv = np.asarray(P), np.asarray(P_inv)  # (F, 4, 3, 4)/(F, 4, 4, 3)
 
     params = affine.sample_augment_params(
         jax.random.key(2), 8, rotation_range=30.0, xy_shifts=6.0,
@@ -128,22 +138,26 @@ def test_compose_affine_into_cameras_reprojection():
     )
     newP, newPinv = np.asarray(newP), np.asarray(newPinv)
 
-    X = rng.normal(size=(5, 3)).astype(np.float32) + np.array([0, 0, 5.0])
-    Xh = np.concatenate([X, np.ones((5, 1), np.float32)], axis=1)
-    for s in range(2):
+    def to_rows(proj_h):
+        """(N, 3) homogeneous camera output -> (N, 2) [x, row] pixels."""
+        xy = proj_h[:, :2] / proj_h[:, 2:3]
+        return np.stack([xy[:, 0], 192.0 - xy[:, 1]], axis=1)
+
+    pts3d = np.asarray(arrays["points_3D"], np.float32)  # (F, K, 3)
+    for f in range(2):
+        Xh = np.concatenate(
+            [pts3d[f], np.ones((pts3d.shape[1], 1), np.float32)], axis=1
+        )
         for c in range(4):
-            x_old = (P[s, c] @ Xh.T).T  # (5, 3) homogeneous
-            x_old = x_old[:, :2] / x_old[:, 2:3]
-            # warp the old pixels with the view's affine
-            x_warp = np.asarray(affine.transform_points(
-                jnp.asarray(x_old)[None], jnp.asarray(mats[s, c])[None]
+            pix_old = to_rows((P[f, c] @ Xh.T).T)
+            # warp the old PIXEL coords with the view's affine
+            pix_warp = np.asarray(affine.transform_points(
+                jnp.asarray(pix_old)[None], jnp.asarray(mats[f, c])[None]
             ))[0]
-            x_new = (newP[s, c] @ Xh.T).T
-            x_new = x_new[:, :2] / x_new[:, 2:3]
-            np.testing.assert_allclose(x_new, x_warp, rtol=1e-3, atol=1e-2)
-            # P' @ P_inv' stays proportional to the identity (f32 pinv of
-            # random full-rank P is the precision floor here, ~1e-2)
-            M = newP[s, c] @ newPinv[s, c]
+            pix_new = to_rows((newP[f, c] @ Xh.T).T)
+            np.testing.assert_allclose(pix_new, pix_warp, rtol=1e-3, atol=5e-2)
+            # P' @ P_inv' stays proportional to the identity
+            M = newP[f, c] @ newPinv[f, c]
             scale = np.trace(M) / 3.0
             np.testing.assert_allclose(M / scale, np.eye(3), atol=2e-2)
 

@@ -138,10 +138,10 @@ def test_checkpoint_every_and_viz_gating(tmp_path, arrays):
     real = ckpt.save_checkpoint
 
     def spy(run_path, state, epoch, val_loss, scheduler_state=None,
-            best=False):
+            best=False, **kw):
         calls.append((epoch, best))
         return real(run_path, state, epoch, val_loss,
-                    scheduler_state=scheduler_state, best=best)
+                    scheduler_state=scheduler_state, best=best, **kw)
 
     with mock.patch.object(
         __import__("pose_estimation_amitai_tpu.train.trainer",
