@@ -68,6 +68,25 @@ def augmentation_views(model_type: str) -> int:
     return 1
 
 
+def layout_views(model_type: str) -> int:
+    """Camera views stacked on the CHANNEL axis of this model's samples.
+
+    Distinct from :func:`augmentation_views` (how many independent affine
+    transforms to draw — 1 for most multicam models, the reference's
+    shared-transform default): this is the physical channel layout, which
+    mask-channel logic (ops/morphology.random_mask_redilation's per-view
+    mask table, reference tensorflow/simple_data_generator.py:104-111)
+    must follow regardless of the augmentation policy.
+    """
+    if model_type == C.ALL_CAMS_AND_3_GOOD_CAMS:
+        return 3
+    if model_type in _MULTICAM_4 or model_type in _VIT_4CAM or (
+        model_type in _DISENTANGLED
+    ):
+        return 4
+    return 1
+
+
 def _vit_arch_kwargs(cfg: Config, num_output_channels: int) -> dict[str, Any]:
     """Shared ViT architecture kwargs (single-view + 4-cam families).
 

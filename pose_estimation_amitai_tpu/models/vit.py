@@ -43,11 +43,13 @@ class Attention(nn.Module):
     dim_head: int = 64
     dropout: float = 0.0
     dtype: Dtype = jnp.bfloat16
+    pre_norm: bool = True  # False: raw input (tf post-LN blocks norm after)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         inner = self.dim_head * self.heads
-        y = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
+        y = (nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
+             if self.pre_norm else x.astype(jnp.float32))
         qkv = nn.Dense(inner * 3, use_bias=False, dtype=self.dtype,
                        param_dtype=jnp.float32, name="to_qkv")(y)
         b, n, _ = qkv.shape
@@ -69,13 +71,16 @@ class FeedForward(nn.Module):
     hidden_dim: int
     dropout: float = 0.0
     dtype: Dtype = jnp.bfloat16
+    pre_norm: bool = True  # False: raw input (tf post-LN blocks norm after)
+    activation: str = "gelu"  # tf flavour uses relu (vitPose.py:71)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
-        y = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
+        y = (nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
+             if self.pre_norm else x)
         y = nn.Dense(self.hidden_dim, dtype=self.dtype, param_dtype=jnp.float32,
                      name="fc1")(y)
-        y = nn.gelu(y)
+        y = nn.relu(y) if self.activation == "relu" else nn.gelu(y)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
         y = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
                      name="fc2")(y)
@@ -83,9 +88,13 @@ class FeedForward(nn.Module):
 
 
 class Transformer(nn.Module):
-    """Pre-LN transformer stack with trailing LayerNorm.
+    """Transformer stack in two reference flavours.
 
-    Reference: pytorch/pytorch_vit_encoder.py:81-105.
+    ``torch``: pre-LN blocks with a trailing LayerNorm
+    (pytorch/pytorch_vit_encoder.py:81-105). ``tf``: post-LN blocks — raw
+    MHA + skip then LN, relu FFN + skip then LN, attention dropout 0.1 —
+    exactly ``transformer_layer`` (tensorflow/vitPose.py:63-79); the last
+    block already ends in LN, so no extra trailing norm.
     """
 
     dim: int
@@ -95,9 +104,26 @@ class Transformer(nn.Module):
     mlp_dim: int
     dropout: float = 0.0
     dtype: Dtype = jnp.bfloat16
+    flavor: str = "torch"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        if self.flavor == "tf":
+            for i in range(self.depth):
+                a = Attention(self.dim, self.heads, self.dim_head,
+                              0.1,  # fixed attention dropout, vitPose.py:66
+                              self.dtype, pre_norm=False,
+                              name=f"attn{i}")(x, train=train)
+                x = nn.LayerNorm(dtype=jnp.float32, name=f"postnorm{i}a")(
+                    x + a
+                )
+                f = FeedForward(self.dim, self.mlp_dim, 0.0, self.dtype,
+                                pre_norm=False, activation="relu",
+                                name=f"ff{i}")(x, train=train)
+                x = nn.LayerNorm(dtype=jnp.float32, name=f"postnorm{i}b")(
+                    x + f
+                )
+            return x
         for i in range(self.depth):
             x = Attention(self.dim, self.heads, self.dim_head, self.dropout,
                           self.dtype, name=f"attn{i}")(x, train=train) + x
@@ -122,6 +148,10 @@ class PatchEmbed(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
+        # the CNN decoder reconstructs a SQUARE token grid from sqrt(N);
+        # a rectangular grid whose count is a perfect square (e.g. 16x9)
+        # would silently scramble spatial layout
+        assert h == w, f"ViT path needs square inputs, got {h}x{w}"
         p = self.patch_size
         y = nn.Conv(self.dim, (p, p), strides=(p, p), padding="VALID",
                     dtype=self.dtype, param_dtype=jnp.float32, name="proj")(
@@ -141,9 +171,10 @@ class PatchEmbed(nn.Module):
 class CNNDecoderViT(nn.Module):
     """Token grid -> heatmaps via 4 stride-2 deconvs.
 
-    flavor='torch': constant-width deconvs + global min-max normalisation
-    (pytorch/VITs.py:13-58). flavor='tf': channel-halving deconvs, no
-    normalisation (tensorflow/vitPose.py:82-96).
+    flavor='torch': constant-width deconvs + per-sample min-max
+    normalisation (pytorch/VITs.py:13-58; the reference's batch-global
+    min-max is a latent defect, see inline note). flavor='tf':
+    channel-halving deconvs, no normalisation (tensorflow/vitPose.py:82-96).
     """
 
     out_channels: int
@@ -174,8 +205,14 @@ class CNNDecoderViT(nn.Module):
             x = leaky(deconv(feat, f"deconv{i + 1}")(x), alpha)
         x = x.astype(jnp.float32)
         if self.flavor == "torch":
-            # global min-max normalisation — pytorch/VITs.py:55-58
-            x = (x - x.min()) / (x.max() - x.min() + 1e-12)
+            # PER-SAMPLE min-max normalisation. The reference normalises
+            # over the whole batch (pytorch/VITs.py:55-58), which couples
+            # every sample's heatmap amplitudes to its batchmates — a
+            # latent defect (same image, different prediction at different
+            # batch sizes), resolved per repo policy (DESIGN.md deviations).
+            lo = x.min(axis=(1, 2, 3), keepdims=True)
+            hi = x.max(axis=(1, 2, 3), keepdims=True)
+            x = (x - lo) / (hi - lo + 1e-12)
         return x
 
 
@@ -205,7 +242,8 @@ class ViTPoseNet(nn.Module):
                             dtype=self.dtype, name="patch_embed")(x)
         tokens = Transformer(self.dim, self.depth, self.heads, self.dim_head,
                              self.dim * self.mlp_expand, self.dropout,
-                             self.dtype, name="transformer")(tokens, train=train)
+                             self.dtype, flavor=self.flavor,
+                             name="transformer")(tokens, train=train)
         return CNNDecoderViT(self.out_channels, self.dim, self.kernel_size,
                              self.flavor, self.dtype, name="decoder")(tokens)
 

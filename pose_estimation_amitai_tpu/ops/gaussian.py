@@ -74,4 +74,11 @@ def ensure_sigma(
 
     n, h, w, c = confmaps.shape
     peaks = find_peaks(confmaps)  # (N, C, 2)
-    return confmaps_from_peaks(peaks, (h, w), sigma, confmaps.dtype)
+    out = confmaps_from_peaks(peaks, (h, w), sigma, confmaps.dtype)
+    # all-zero channels (missing/occluded keypoints) argmax to (0, 0);
+    # re-rendering would INVENT a full-strength corner Gaussian where the
+    # input said "no point" — keep those channels zero instead
+    alive = (
+        jnp.max(confmaps, axis=(1, 2), keepdims=True) > 0
+    )  # (N, 1, 1, C)
+    return jnp.where(alive, out, jnp.zeros_like(out))

@@ -1,4 +1,4 @@
-"""Binary morphology via XLA ``reduce_window``.
+"""Binary morphology as batched padded shifted-slice max/min reductions.
 
 TPU-native replacement for the scipy/skimage morphology calls in the
 reference's preprocessing (reference: pytorch/preprocessor.py:390-393
@@ -38,9 +38,10 @@ def _masked_window_reduce(
 ) -> jax.Array:
     """One dilation/erosion step over the trailing 2 dims of ``mask``.
 
-    Implemented as an additive reduce_window over the structuring footprint:
-    for dilation, OR of neighbours under the (symmetric) structure; for
-    erosion, AND. Arbitrary leading batch dims are supported.
+    Implemented as an unrolled max/min over shifted padded slices of the
+    structuring footprint: for dilation, OR of neighbours under the
+    (symmetric) structure; for erosion, AND. Arbitrary leading batch dims
+    are supported.
     """
     sh, sw = structure.shape
     pad_h, pad_w = sh // 2, sw // 2
@@ -50,19 +51,17 @@ def _masked_window_reduce(
 
     struct = jnp.asarray(structure, dtype=jnp.float32)
     if is_dilation:
-        init, op, pad_val = 0.0, jax.lax.max, 0.0
         # dilation: out = max over footprint of (mask * struct)
-        sel = struct
+        init, op, pad_val = 0.0, jax.lax.max, 0.0
     else:
-        # scipy default border_value=0: outside counts as background, so
-        # border pixels erode away
+        # erosion: out = min over footprint where struct is set; scipy
+        # default border_value=0: outside counts as background, so border
+        # pixels erode away
         init, op, pad_val = 1.0, jax.lax.min, 0.0
-        # erosion: out = min over footprint of (mask OR NOT struct)
-        sel = struct
 
-    # Use a conv-style trick: pad, then take the window reduce with the
-    # structure applied via shifted slices. The footprint is tiny (3x3..disk9),
-    # so unrolled shifted selects fuse into one VPU pass under jit.
+    # Pad, then apply the structure via unrolled shifted slices. The
+    # footprint is tiny (3x3..disk9), so the shifted selects fuse into one
+    # VPU pass under jit.
     padded = jnp.pad(
         m2, ((0, 0), (pad_h, pad_h), (pad_w, pad_w)), constant_values=pad_val
     )
@@ -163,13 +162,17 @@ def random_mask_redilation(
     The ``wings_masks_dilation`` augmentation
     (tensorflow/simple_data_generator.py:84-87, 99-117): with probability
     0.5 per sample, dilate the mask channels by ``k ~ randint(0,
-    max_dilation)`` iterations. The reference's channel table (4 -> [-1],
-    5 -> [-2, -1], 16 -> every 4th) generalises to: the last channel of
-    each camera-view block for multicam inputs, the trailing one (per-wing)
-    or two (all-points, C == T+2 == 5) mask channels otherwise. (The
-    reference overwrites the augmented mask with a dilation of the
-    UN-warped mask — a bug resolved here by dilating the warped mask,
-    SURVEY §7 hard part 3.)
+    max_dilation)`` iterations — exclusive high bound like the reference's
+    ``np.random.randint(0, wings_masks_dilation)``, so a config value of 1
+    is deliberately a no-op there and here. The reference's channel table
+    (4 -> [-1], 5 -> [-2, -1], 16 -> every 4th) generalises to: the last
+    channel of each camera-view block for multicam inputs (``num_views``
+    must be the CHANNEL-layout view count, models.layout_views — not the
+    augmentation-transform count), the trailing one (per-wing) or two
+    (all-points, C == T+2 == 5) mask channels otherwise. (The reference
+    overwrites the augmented mask with a dilation of the UN-warped mask —
+    a bug resolved here by dilating the warped mask, SURVEY §7 hard
+    part 3.)
 
     Data-dependent iteration counts can't branch under jit, so all
     ``max_dilation - 1`` dilation steps run and each sample selects its

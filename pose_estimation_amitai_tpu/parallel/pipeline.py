@@ -131,10 +131,14 @@ class PipelinedViT:
         self.dim = dim
         self.grid = image_hw // patch_size
         self.tokens = self.grid * self.grid
-        # same flavor semantics as models.vit.ViTPoseNet: torch LayerNorms
-        # the patch embedding and min-max-normalises the decoder output
-        self.embed = PatchEmbed(dim, patch_size, post_norm=flavor == "torch",
-                                dtype=dtype)
+        # PP stages are pre-LN PipelineBlocks — the torch flavour's trunk;
+        # the tf flavour's post-LN blocks are not staged (use plain
+        # ViTPoseNet for tf-parity runs)
+        assert flavor == "torch", (
+            f"pipeline parallelism supports the torch ViT flavour, got "
+            f"{flavor!r}"
+        )
+        self.embed = PatchEmbed(dim, patch_size, post_norm=True, dtype=dtype)
         self.block = PipelineBlock(dim, heads, dim_head, dim * mlp_expand,
                                    dtype)
         self.final_norm = nn.LayerNorm(dtype=jnp.float32)

@@ -110,12 +110,16 @@ def make_sharded_train_step(model, cfg: Config, mesh: Mesh):
             )
         if cfg.do_augmentations and cfg.wings_masks_dilation > 0:
             # random wing-mask re-dilation augmentation
-            # (tensorflow/simple_data_generator.py:84-87, 99-117)
+            # (tensorflow/simple_data_generator.py:84-87, 99-117);
+            # mask channels follow the CHANNEL layout (4 per multicam
+            # view), not the augmentation-transform count
+            from ..models import layout_views
             from ..ops.morphology import random_mask_redilation
 
             key, dkey = jax.random.split(key)
             box = random_mask_redilation(
-                dkey, box, cfg.wings_masks_dilation, num_views=views
+                dkey, box, cfg.wings_masks_dilation,
+                num_views=layout_views(cfg.model_type),
             )
         mb = dict(mb, image=box, confmaps=confmaps)
         if view_mats is not None and "P" in mb:

@@ -73,3 +73,50 @@ def test_resnet_contract():
     # ResNet50 needs /32-divisible inputs; use 64px
     out = _build_and_run(C.RESNET_18_POINTS_PER_WING, 4, 9, hw=64)
     assert out.shape == (2, 64, 64, 9)
+
+
+def test_tf_flavor_vit_is_post_ln():
+    """arch_flavor='tf' builds the TF post-LN transformer
+    (tensorflow/vitPose.py:63-79): per-block post-norms, no trailing
+    pre-LN final_norm, relu FFN — not the torch pre-LN stack."""
+    import jax
+    import jax.numpy as jnp
+
+    from pose_estimation_amitai_tpu.models.vit import ViTPoseNet
+
+    vit = ViTPoseNet(out_channels=6, patch_size=16, dim=32, depth=2,
+                     heads=2, dim_head=16, mlp_expand=2, flavor="tf")
+    x = jnp.zeros((1, 48, 48, 4), jnp.float32)
+    params = vit.init({"params": jax.random.key(0)}, x, train=False)["params"]
+    t = params["transformer"]
+    assert "postnorm0a" in t and "postnorm1b" in t
+    assert "final_norm" not in t
+    # post-LN attention takes the raw input: no pre-norm params inside
+    assert "norm" not in t["attn0"]
+    out = vit.apply({"params": params}, x, train=False)
+    assert out.shape == (1, 48, 48, 6)
+
+
+def test_torch_vit_decoder_normalisation_is_per_sample():
+    """Per-sample min-max: the same image decodes identically regardless
+    of what else is in the batch (the reference's batch-global min-max
+    couples samples — latent defect, fixed per DESIGN deviations)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as _np
+
+    from pose_estimation_amitai_tpu.models.vit import ViTPoseNet
+
+    vit = ViTPoseNet(out_channels=6, patch_size=16, dim=32, depth=1,
+                     heads=2, dim_head=16, mlp_expand=2)
+    rng = _np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal((1, 48, 48, 4)), jnp.float32)
+    b = jnp.asarray(10 * rng.standard_normal((1, 48, 48, 4)), jnp.float32)
+    params = vit.init({"params": jax.random.key(0)}, a, train=False)["params"]
+    solo = vit.apply({"params": params}, a, train=False)
+    batched = vit.apply(
+        {"params": params}, jnp.concatenate([a, b]), train=False
+    )[:1]
+    _np.testing.assert_allclose(
+        _np.asarray(solo), _np.asarray(batched), rtol=1e-5, atol=1e-5
+    )

@@ -49,3 +49,20 @@ def test_ensure_sigma_renormalises(rng):
     fixed = np.asarray(ensure_sigma(jnp.asarray(wide), sigma=2.0))
     expected = np.asarray(confmaps_from_peaks(jnp.asarray(peaks), (48, 48), 2.0))
     np.testing.assert_allclose(fixed, expected, atol=1e-5)
+
+
+def test_ensure_sigma_keeps_zero_channels_zero():
+    """All-zero (missing-keypoint) channels must NOT become corner
+    Gaussians at the argmax fallback (0, 0)."""
+    import jax.numpy as jnp
+
+    from pose_estimation_amitai_tpu.ops.gaussian import (
+        confmaps_from_peaks, ensure_sigma,
+    )
+
+    peaks = jnp.asarray([[[20.0, 24.0], [10.0, 12.0]]])  # (1, 2, 2)
+    maps = np.array(confmaps_from_peaks(peaks, (48, 48), 3.0))
+    maps[..., 1] = 0.0  # channel 1: missing keypoint
+    out = np.asarray(ensure_sigma(jnp.asarray(maps), 3.0))
+    assert out[..., 1].max() == 0.0
+    assert out[..., 0].max() > 0.99

@@ -69,3 +69,37 @@ def test_disk_dilation_matches_scipy(rng):
     got = np.asarray(M.dilate_disk(jnp.asarray(mask), 3))
     want = ndimage.binary_dilation(mask, structure=M.disk(3))
     np.testing.assert_array_equal(got, want)
+
+
+def test_redilation_hits_every_camera_mask_channel():
+    """16-channel multicam boxes re-dilate EVERY view's mask channel
+    ([3, 7, 11, 15] — tensorflow/simple_data_generator.py:104-111), driven
+    by the channel layout, not the augmentation-transform count."""
+    import jax
+
+    from pose_estimation_amitai_tpu.models import layout_views
+    from pose_estimation_amitai_tpu import constants as C
+    from pose_estimation_amitai_tpu.ops.morphology import (
+        random_mask_redilation,
+    )
+
+    assert layout_views(C.ALL_CAMS) == 4
+    assert layout_views(C.ALL_CAMS_18_POINTS) == 4
+    assert layout_views(C.MODEL_18_POINTS_PER_WING) == 1
+
+    rng = np.random.default_rng(0)
+    box = np.zeros((4, 32, 32, 16), np.float32)
+    for ch in (3, 7, 11, 15):
+        box[:, 15:17, 15:17, ch] = 1.0  # small seed masks
+    out = np.asarray(random_mask_redilation(
+        jax.random.key(3), jnp.asarray(box), 4,
+        num_views=layout_views(C.ALL_CAMS),
+    ))
+    changed = [
+        ch for ch in range(16)
+        if not np.array_equal(out[..., ch], box[..., ch])
+    ]
+    # every changed channel is a mask channel, and with 4 samples at
+    # p=0.5 at least one sample dilates => masks beyond [15] change
+    assert set(changed) <= {3, 7, 11, 15}
+    assert len(changed) == 4, changed
