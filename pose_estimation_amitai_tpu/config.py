@@ -78,6 +78,7 @@ _ALIASES: dict[str, tuple[str, ...]] = {
     "save_every_epoch": ("save_every_epoch",),
     # TPU-rebuild-only knobs (absent from the reference dialect).
     "checkpoint_every": ("checkpoint_every",),
+    "async_checkpoint": ("async_checkpoint",),
     "compute_dtype": ("compute_dtype",),
     "arch_flavor": ("arch_flavor",),
     "mesh_shape": ("mesh_shape",),

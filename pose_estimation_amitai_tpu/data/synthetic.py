@@ -256,12 +256,20 @@ def make_synthetic_arrays(
                     # features are visually distinguishable; identical dots
                     # would make keypoint identity unlearnable
                     if layout == "outline":
-                        # cycle the amplitude ramp with stride 7 (coprime to
-                        # any half) so spatially ADJACENT boundary landmarks
-                        # get maximally different intensities — neighbour
-                        # identity is the error mode that costs decode px
-                        amp = (0.45 + 0.5 * ((p * 7) % n_all + 1) / n_all
-                               ) * feature_amp
+                        # cycle the amplitude ramp with a stride COPRIME to
+                        # n_all (7 unless 7 | n_all, e.g. n_all=14 would
+                        # collapse to 2 levels) so spatially ADJACENT
+                        # boundary landmarks get maximally different
+                        # intensities — neighbour identity is the error
+                        # mode that costs decode px
+                        import math
+
+                        stride = next(
+                            s for s in (7, 9, 11, 13, 3, 1)
+                            if math.gcd(s, n_all) == 1
+                        )
+                        amp = (0.45 + 0.5 * ((p * stride) % n_all + 1)
+                               / n_all) * feature_amp
                     else:
                         amp = (0.45 + 0.5 * (p + 1) / n_all) * feature_amp
                     sig = 1.2 + 0.8 * (p % 4) / 3.0

@@ -117,8 +117,12 @@ class Predictor:
             self.params = self.variables["params"]
 
         from .models.cnn import BasicNet
+        # the hand-scheduled quantized/fused paths hardcode the flagship
+        # geometry (kernel 3, dilation 2); other BasicNet configs route to
+        # the generic interceptor / flax forward, which handle any geometry
         is_basic = (
             type(self.model) is BasicNet and self.model.flavor == "torch"
+            and self.model.kernel_size == 3 and self.model.dilation == 2
         )
         fused_ok = use_fused and is_basic
 

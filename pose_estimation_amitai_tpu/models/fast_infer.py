@@ -17,6 +17,26 @@ from .cnn import BasicNet
 from .layers import TORCH_ALPHA, DecoderUp
 
 
+def chunked_batch_map(fn, x: jnp.ndarray, max_chunk: int = 8) -> jnp.ndarray:
+    """Apply ``fn`` over batch chunks of <= ``max_chunk`` via ``lax.map``.
+
+    Mosaic layout assignment crashes on pallas operands with sub-8-lane
+    minors once the array exceeds a few MB (batch >= ~8 at 192px), so the
+    pallas-backed forwards map over small batch chunks; chunks run
+    back-to-back on device with no host sync. Shared by this module and
+    models/quantized.py so the workaround lives in one place.
+    """
+    b = x.shape[0]
+    chunk = next(
+        c for c in (max_chunk, max_chunk // 2, 2, 1) if c >= 1 and b % c == 0
+    )
+    if b == chunk:
+        return fn(x)
+    xr = x.reshape(b // chunk, chunk, *x.shape[1:])
+    out = jax.lax.map(fn, xr)
+    return out.reshape(b, *out.shape[2:])
+
+
 def encoder_stage_params(params: dict) -> list[dict]:
     """flax BasicNet params -> per-stage HWIO weight dicts for the kernel.
 
@@ -66,8 +86,12 @@ def basicnet_apply_fused(
     # minors once the array exceeds a few MB (batch >= ~8 at 192px), so the
     # encoder maps over batch chunks of <= 8 frames; chunks run
     # back-to-back on device with no host sync.
+    # the pallas fused decoder asserts cin <= 2*LANE and cin//2 <= LANE
+    # (ops/pallas_deconv.py), i.e. exactly 128 or 256 latent channels —
+    # other multiples of 128 (e.g. 384 at filters=96) would crash instead
+    # of falling back to the flax decoder
     latent_ch = 4 * model.filters
-    use_fused_dec = fuse_decoder and latent_ch % 128 == 0
+    use_fused_dec = fuse_decoder and latent_ch in (128, 256)
 
     def run_chunk(xc):
         lat = encode(xc)
@@ -88,13 +112,5 @@ def basicnet_apply_fused(
         )
         return decoder.apply({"params": params["decoder"]}, lat)
 
-    b = x.shape[0]
-    chunk = next(c for c in (8, 4, 2, 1) if b % c == 0)
-    x = x.astype(dtype)
-    if b == chunk:
-        out = run_chunk(x)
-    else:
-        xr = x.reshape(b // chunk, chunk, *x.shape[1:])
-        out = jax.lax.map(run_chunk, xr)
-        out = out.reshape(b, *out.shape[2:])
+    out = chunked_batch_map(run_chunk, x.astype(dtype))
     return out.astype(jnp.float32)

@@ -118,12 +118,15 @@ def quantize_params(params, act_scales: dict[str, float]):
         s_w = np.abs(w).max(axis=(0, 1, 2)) / 127.0  # per out channel
         s_w = np.maximum(s_w, 1e-12)
         w_q = np.clip(np.round(w / s_w), -127, 127).astype(np.int8)
+        # floor s_x like s_w: an all-zero calibration input (blank frames)
+        # must not produce 1/0 at forward-build time
+        s_x = max(float(act_scales[name]), 1e-12)
         q[name] = {
             "w_q": jnp.asarray(w_q),
             "bias": jnp.asarray(layer["bias"], np.float32),
             # dequant multiplier: s_x * s_w per output channel
-            "mult": jnp.asarray(act_scales[name] * s_w, np.float32),
-            "s_x": float(act_scales[name]),
+            "mult": jnp.asarray(s_x * s_w, np.float32),
+            "s_x": s_x,
         }
     return q
 
@@ -194,14 +197,9 @@ def make_quantized_fused_forward(
         return v.astype(jnp.bfloat16)
 
     def forward(x):
-        b = x.shape[0]
-        chunk = next(c for c in (8, 4, 2, 1) if b % c == 0)
-        if b == chunk:
-            lat = encoder_int8(x)
-        else:
-            xr = x.reshape(b // chunk, chunk, *x.shape[1:])
-            lat = jax.lax.map(encoder_int8, xr)
-            lat = lat.reshape(b, *lat.shape[2:])
+        from .fast_infer import chunked_batch_map
+
+        lat = chunked_batch_map(encoder_int8, x)
         d2s = lambda a, w: _deconv_s2(a, w, acc=jnp.int32)
         d1s = lambda a, w: _deconv_s1(a, w, acc=jnp.int32)
         y1 = b16(_leaky(qconv_pre("deconv1", lat, d2s)))
