@@ -19,6 +19,12 @@ so the per-layer quantize/dequantize overhead exceeds the MXU-rate gain
 and bf16 serves faster. Serve with whichever path bench_zoo.py shows
 fastest for the model family.
 
+Mixed-precision serving: ``layer_filter`` restricts quantisation to a
+subset of layers — ``conv_layers_only`` keeps the transformer trunk
+(Dense/LN/softmax) in bf16 while the CNN decoder's conv stack runs int8,
+capturing the conv-family gain inside the ViT models without paying the
+attention-matmul quantisation penalty.
+
 The reference has no quantized serving at all (its inference-as-practiced is
 ``model.predict`` in float, SURVEY §3.5) — this is TPU-added capability, and
 peak-decode parity with each float model is what tests/test_quantized.py
@@ -37,6 +43,17 @@ from flax import linen as nn
 from jax import lax
 
 _QUANT_TYPES = (nn.Dense, nn.Conv, nn.ConvTranspose)
+
+
+def conv_layers_only(module: nn.Module) -> bool:
+    """``layer_filter``: quantise Conv/ConvTranspose, keep Dense in float.
+
+    The mixed-precision serving mode for the ViT families: their decoder
+    conv stack gains from int8 on the MXU while the transformer trunk's
+    Dense chain (bound by the LayerNorm/softmax VPU work around it) serves
+    faster in bf16 (DESIGN.md serving findings).
+    """
+    return isinstance(module, (nn.Conv, nn.ConvTranspose))
 
 
 def _path_key(module: nn.Module) -> str:
@@ -132,12 +149,16 @@ def calibrate_apply(
     model: nn.Module,
     variables: dict | Any,
     sample_inputs: list[tuple],
+    layer_filter: Callable[[nn.Module], bool] | None = None,
     **apply_kwargs,
 ) -> dict[str, float]:
     """Record per-layer input amax/127 over calibration batches.
 
     ``variables`` is either a full variables dict or bare params;
     ``sample_inputs`` is a list of positional-arg tuples for ``model.apply``.
+    ``layer_filter`` restricts which layers are calibrated (and therefore
+    quantised downstream — ``make_quantized_apply`` only rewrites layers
+    present in the scales dict); e.g. :func:`conv_layers_only`.
 
     The instrumented forward runs under ``jax.jit``: the interceptor fires
     at trace time and the per-layer amax tracers become the program's
@@ -157,6 +178,7 @@ def calibrate_apply(
             if (
                 isinstance(m, _QUANT_TYPES)
                 and context.method_name == "__call__"
+                and (layer_filter is None or layer_filter(m))
             ):
                 key = _path_key(m)
                 amax = jnp.max(jnp.abs(args[0])).astype(jnp.float32)
@@ -216,11 +238,13 @@ def quantize_predict_fn(
     variables: dict | Any,
     calibration_inputs: list[tuple] | np.ndarray,
     out_dtype=jnp.float32,
+    layer_filter: Callable[[nn.Module], bool] | None = None,
 ) -> Callable:
     """Calibrate + build in one step.
 
     ``calibration_inputs``: list of positional-arg tuples, or a single
-    frames array (split into chunks of 8 internally).
+    frames array (split into chunks of 8 internally). ``layer_filter``
+    selects the quantised subset (see :func:`conv_layers_only`).
     """
     if isinstance(calibration_inputs, (np.ndarray, jax.Array)):
         arr = np.asarray(calibration_inputs)
@@ -228,5 +252,7 @@ def quantize_predict_fn(
             (jnp.asarray(arr[i : i + 8], jnp.float32),)
             for i in range(0, min(len(arr), 32), 8)
         ]
-    scales = calibrate_apply(model, variables, calibration_inputs)
+    scales = calibrate_apply(
+        model, variables, calibration_inputs, layer_filter=layer_filter
+    )
     return make_quantized_apply(model, variables, scales, out_dtype)

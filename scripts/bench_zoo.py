@@ -45,12 +45,17 @@ from pose_estimation_amitai_tpu.config import Config
 from pose_estimation_amitai_tpu.models import build_model, needs_camera_matrices
 from pose_estimation_amitai_tpu.models.quantized_generic import (
     calibrate_apply,
+    conv_layers_only,
     make_quantized_apply,
 )
 from pose_estimation_amitai_tpu.ops import peaks
 
 HW = 192
 K_SMALL, K_LARGE = 2, 8
+
+# families with both a Dense transformer trunk (faster bf16) and a conv
+# decoder (faster int8): measure the layer_filter mixed-precision path too
+MIXED = {"vit", "vit4cam"}
 
 # model key -> (model_type, in_channels, out_channels, cams, batch)
 ZOO = {
@@ -150,7 +155,21 @@ def bench_one(key: str, budget_s: float = 420.0) -> dict:
     except Exception as e:  # pragma: no cover - diagnostic surface
         out["int8_error"] = repr(e)[:200]
         sps_q = 0.0
-    best = max(sps_f, sps_q)
+    sps_m = 0.0
+    if key in MIXED:
+        # mixed precision: int8 conv stack + bf16 transformer trunk
+        mixed_scales = calibrate_apply(
+            model, variables, calib, layer_filter=conv_layers_only
+        )
+        mixed_forward = make_quantized_apply(
+            model, variables, mixed_scales, out_dtype=jnp.bfloat16
+        )
+        try:
+            sps_m = marginal_fps(scan_runner(mixed_forward))
+            out["mixed_samples_per_s"] = round(sps_m, 1)
+        except Exception as e:  # pragma: no cover - diagnostic surface
+            out["mixed_error"] = repr(e)[:200]
+    best = max(sps_f, sps_q, sps_m)
     out["frames_per_s"] = round(best * cams, 1)
     out["cams"] = cams
     return out
@@ -167,7 +186,7 @@ def main() -> None:
         print(json.dumps(r), flush=True)
     print(
         f"{'model':14s} {'batch':>5s} {'bf16 sps':>10s} {'int8 sps':>10s}"
-        f" {'frames/s':>10s}",
+        f" {'mixed sps':>10s} {'frames/s':>10s}",
         file=sys.stderr,
     )
     for r in rows:
@@ -175,6 +194,7 @@ def main() -> None:
             f"{r['model']:14s} {r['batch']:5d}"
             f" {r.get('bf16_samples_per_s', 0):10.0f}"
             f" {r.get('int8_samples_per_s', 0):10.0f}"
+            f" {r.get('mixed_samples_per_s', 0):10.0f}"
             f" {r['frames_per_s']:10.0f}",
             file=sys.stderr,
         )

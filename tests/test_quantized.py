@@ -228,3 +228,58 @@ def test_generic_quantized_multicam_peak_parity():
     q_pts = np.asarray(peaks.find_peaks(jnp.asarray(q_maps, jnp.float32)))
     d = np.linalg.norm(ref_pts - q_pts, axis=-1)
     assert np.median(d) <= 1.0, np.median(d)
+
+
+def test_selective_quantization_layer_filter():
+    """``layer_filter`` restricts quantisation to a layer subset: the
+    conv-only mixed-precision serving mode for the ViT family leaves the
+    Dense transformer trunk untouched (bit-identical to float when only
+    unquantised layers run), and an empty filter reproduces the float
+    forward exactly."""
+    from pose_estimation_amitai_tpu.models.quantized_generic import (
+        calibrate_apply,
+        conv_layers_only,
+        make_quantized_apply,
+    )
+
+    rng = np.random.default_rng(3)
+    cfg = Config(model_type="MODEL_18_POINTS_PER_WING_VIT", patch_size=16,
+                 projection_dim=64, transformer_layers=2, num_heads=4,
+                 dropout_ratio=0.0, compute_dtype="float32")
+    x = jnp.asarray(rng.random((4, 48, 48, 4), np.float32))
+    model = build_model(cfg, x.shape[1:], 8)
+    params = model.init({"params": jax.random.key(0)}, x, train=False)[
+        "params"
+    ]
+
+    # conv-only filter: scales cover the patch-embed conv + 4 decoder
+    # deconvs and exclude every Dense (to_qkv/to_out/fc1/fc2)
+    scales = calibrate_apply(model, params, [(x,)],
+                             layer_filter=conv_layers_only)
+    assert len(scales) == 5, sorted(scales)
+    assert not any(
+        k.rsplit("/", 1)[-1] in ("to_qkv", "to_out", "fc1", "fc2")
+        for k in scales
+    ), sorted(scales)
+
+    # jitted float forward closing over params exactly like
+    # make_quantized_apply does (argument- vs constant-params change XLA's
+    # fusion choices at the 1e-7 level, so the baseline must match its
+    # structure for a bit-exactness comparison)
+    ref = np.asarray(jax.jit(
+        lambda x: model.apply({"params": params}, x, train=False)
+    )(x))
+
+    # empty filter -> no layer quantised -> exactly the float forward
+    none_scales = calibrate_apply(model, params, [(x,)],
+                                  layer_filter=lambda m: False)
+    assert none_scales == {}
+    ident = jax.jit(make_quantized_apply(model, params, none_scales))
+    np.testing.assert_array_equal(np.asarray(ident(x)), ref)
+
+    # conv-only mixed forward: int8 error confined to the decoder stack;
+    # min-max-normalised heatmaps stay close to the float model's
+    mixed = jax.jit(make_quantized_apply(model, params, scales))
+    out = np.asarray(mixed(x))
+    assert np.isfinite(out).all()
+    assert np.median(np.abs(out - ref)) < 0.05, np.median(np.abs(out - ref))
