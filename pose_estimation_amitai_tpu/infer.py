@@ -80,6 +80,18 @@ class Predictor:
 
         self.cfg = cfg
         self.model = build_model(cfg, image_shape, num_output_channels)
+        if (
+            decode == "argmax"
+            and not return_heatmaps
+            and getattr(self.model, "normalize_output", None) is True
+        ):
+            # ViT-family peaks-only serving: the decoder's per-sample
+            # min-max normalisation is strictly monotonic, so argmax peak
+            # locations are unchanged — skip the f32 cast + min-max HBM
+            # passes (peak VALS then differ from the normalised model's;
+            # [x, y] are identical). 'refined'/'soft' decodes and
+            # heatmap-returning paths keep the reference output.
+            self.model = self.model.clone(normalize_output=False)
         self._needs_cams = needs_camera_matrices(cfg.model_type)
         self.cameras = None
         if cameras is not None:

@@ -182,6 +182,13 @@ class CNNDecoderViT(nn.Module):
     kernel_size: int = 3
     flavor: str = "torch"
     dtype: Dtype = jnp.bfloat16
+    # serving-only switch: per-sample min-max normalisation is strictly
+    # monotonic, so the argmax peak decode is invariant to it — the
+    # peaks-only inference path (infer.Predictor, decode='argmax', no
+    # heatmaps returned) disables it to skip the f32 cast + 3 full-map
+    # HBM passes. Training and heatmap-returning paths keep the reference
+    # normalisation (pytorch/VITs.py:55-58).
+    normalize_output: bool = True
 
     @nn.compact
     def __call__(self, tokens: jnp.ndarray) -> jnp.ndarray:
@@ -203,6 +210,8 @@ class CNNDecoderViT(nn.Module):
             widths = (d // 2, d // 4, d // 8, self.out_channels)
         for i, feat in enumerate(widths):
             x = leaky(deconv(feat, f"deconv{i + 1}")(x), alpha)
+        if self.flavor == "torch" and not self.normalize_output:
+            return x  # peaks-only serving: stay in compute dtype
         x = x.astype(jnp.float32)
         if self.flavor == "torch":
             # PER-SAMPLE min-max normalisation. The reference normalises
@@ -234,6 +243,7 @@ class ViTPoseNet(nn.Module):
     dropout: float = 0.0
     flavor: str = "torch"
     dtype: Dtype = jnp.bfloat16
+    normalize_output: bool = True  # see CNNDecoderViT.normalize_output
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
@@ -245,7 +255,9 @@ class ViTPoseNet(nn.Module):
                              self.dtype, flavor=self.flavor,
                              name="transformer")(tokens, train=train)
         return CNNDecoderViT(self.out_channels, self.dim, self.kernel_size,
-                             self.flavor, self.dtype, name="decoder")(tokens)
+                             self.flavor, self.dtype,
+                             normalize_output=self.normalize_output,
+                             name="decoder")(tokens)
 
 
 class CrossAttentionFuse(nn.Module):
@@ -288,6 +300,7 @@ class ViT4Cameras(nn.Module):
     num_fuse_layers: int = 4
     dropout: float = 0.0
     dtype: Dtype = jnp.bfloat16
+    normalize_output: bool = True  # see CNNDecoderViT.normalize_output
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
@@ -312,6 +325,8 @@ class ViT4Cameras(nn.Module):
             ]
         decoder = CNNDecoderViT(self.out_channels // num_cams, self.dim,
                                 self.kernel_size, "torch", self.dtype,
+                                normalize_output=self.normalize_output,
                                 name="shared_decoder")
         outs = [decoder(e + s) for e, s in zip(encs, skips)]
-        return jnp.concatenate(outs, axis=-1).astype(jnp.float32)
+        out = jnp.concatenate(outs, axis=-1)
+        return out if not self.normalize_output else out.astype(jnp.float32)

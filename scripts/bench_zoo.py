@@ -84,6 +84,11 @@ def bench_one(key: str, budget_s: float = 420.0) -> dict:
     cfg = Config(model_type=model_type, dropout_ratio=0.0)
     hw = HW
     model = build_model(cfg, (hw, hw, in_ch), out_ch)
+    if getattr(model, "normalize_output", None) is True:
+        # peaks-only serving (this bench decodes peaks, like
+        # infer.Predictor's argmax path): the ViT decoder's per-sample
+        # min-max is monotonic -> argmax-invariant; skip its f32 HBM passes
+        model = model.clone(normalize_output=False)
 
     rng = np.random.default_rng(0)
     base = jnp.asarray(rng.random((batch, hw, hw, in_ch)), jnp.bfloat16)

@@ -300,3 +300,40 @@ def test_checkpoint_meta_keeps_best_loss(tmp_path):
     with open(tmp_path / "checkpoint_meta.json") as f:
         meta = _json.load(f)
     assert meta["best_loss"] == 0.01 and meta["val_loss"] == 0.05
+
+
+def test_vit_peaks_only_serving_skips_normalisation():
+    """The ViT-family Predictor's argmax path disables the decoder's
+    per-sample min-max normalisation (monotonic -> argmax-invariant):
+    peak [x, y] match the normalised model's exactly, and the
+    heatmap-returning / refined-decode Predictors keep the reference
+    normalisation."""
+    cfg = Config(model_type="MODEL_18_POINTS_PER_WING_VIT", patch_size=16,
+                 projection_dim=64, transformer_layers=2, num_heads=4,
+                 dropout_ratio=0.0)
+    model = build_model(cfg, (HW, HW, IN_CH), OUT_CH)
+    assert model.normalize_output is True
+    params = model.init(
+        {"params": jax.random.key(0)},
+        jnp.zeros((1, HW, HW, IN_CH)), train=False,
+    )["params"]
+    rng = np.random.default_rng(0)
+    frames = rng.random((6, HW, HW, IN_CH)).astype(np.float32)
+
+    p_fast = Predictor(cfg, params, (HW, HW, IN_CH), OUT_CH, chunk_size=4)
+    assert p_fast.model.normalize_output is False
+    p_maps = Predictor(cfg, params, (HW, HW, IN_CH), OUT_CH, chunk_size=4,
+                       return_heatmaps=True)
+    assert p_maps.model.normalize_output is True
+    p_ref = Predictor(cfg, params, (HW, HW, IN_CH), OUT_CH, chunk_size=4,
+                      decode="refined")
+    assert p_ref.model.normalize_output is True
+
+    maps, pts_norm = p_maps(frames)
+    pts_fast = p_fast(frames)
+    # [x, y] identical; vals intentionally differ (unnormalised)
+    np.testing.assert_array_equal(pts_fast[:, :2], pts_norm[:, :2])
+    # normalised heatmaps stay the reference contract: per-sample [0, 1]
+    flat = maps.reshape(maps.shape[0], -1)
+    np.testing.assert_allclose(flat.min(axis=1), 0.0, atol=1e-6)
+    np.testing.assert_allclose(flat.max(axis=1), 1.0, atol=1e-6)
