@@ -126,3 +126,22 @@ def test_refined_decode_no_border_bias():
     # off-axis coordinates of border peaks keep sub-pixel exactness
     np.testing.assert_allclose(ys[0], 10.0, atol=1e-3)
     np.testing.assert_allclose(ys[1], 12.0, atol=1e-3)
+
+
+def test_argmax2d_tie_break_matches_flat_argmax():
+    """The plain-reduce argmax (max + masked min over the linear index,
+    ops/peaks._argmax2d) must keep jnp.argmax's first-occurrence tie-break,
+    including all-equal maps, duplicate maxima across rows/columns, and
+    negative-valued maps."""
+    h = w = 8
+    maps = np.zeros((4, h, w, 3), np.float32)
+    maps[0, 2, 5, 0] = maps[0, 6, 1, 0] = 1.0          # duplicate max
+    maps[1, :, :, 1] = -1.0                             # all-equal negative
+    maps[2, 0, 0, 2] = maps[2, 0, 7, 2] = 0.5           # same-row tie
+    maps[3, 3, 3, :] = 2.0                              # max in every chan
+    got = np.asarray(peaks.find_peaks_with_vals(jnp.asarray(maps)))
+    flat = maps.reshape(4, h * w, 3)
+    idx = flat.argmax(axis=1)
+    np.testing.assert_array_equal(got[:, 0], (idx % w).astype(np.float32))
+    np.testing.assert_array_equal(got[:, 1], (idx // w).astype(np.float32))
+    np.testing.assert_array_equal(got[:, 2], flat.max(axis=1))
