@@ -101,6 +101,7 @@ def _preprocessed(args):
         use_quantized=use_q,
         calibration_frames=box[:32] if use_q else None,
         cameras=cameras,
+        quantized_layers=getattr(args, "quantized_layers", None),
     )
     return cfg, pre, box, confmaps, predictor
 
@@ -190,6 +191,7 @@ def cmd_export(args) -> int:
         decode=args.decode,
         use_quantized=use_q,
         calibration_frames=calibration,
+        quantized_layers=args.quantized_layers,
     )
     header = export_predictor(predictor, args.out)
     print(json.dumps(header))
@@ -229,6 +231,13 @@ def main(argv: list[str] | None = None) -> int:
             help="calibrated int8 serving path (~2x throughput on v5e; "
                  "peak parity verified in tests/test_quantized.py)",
         )
+        s.add_argument(
+            "--quantized-layers", choices=("all", "conv_only"),
+            default=None,
+            help="with --quantized: 'conv_only' is the ViT mixed-precision "
+                 "mode (int8 conv decoder, bf16 transformer trunk — "
+                 "DESIGN.md serving findings)",
+        )
         s.set_defaults(fn=fn)
 
     e = sub.add_parser(
@@ -244,6 +253,10 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--quantized", action="store_true",
                    help="export the calibrated int8 serving program "
                         "(pass --data for real calibration frames)")
+    e.add_argument("--quantized-layers", choices=("all", "conv_only"),
+                   default=None,
+                   help="with --quantized: 'conv_only' = int8 conv decoder "
+                        "+ bf16 transformer trunk (ViT mixed precision)")
     e.add_argument("--data", default="",
                    help="H5 dataset for int8 calibration (optional)")
     e.add_argument("--image-shape", type=int, nargs=3,

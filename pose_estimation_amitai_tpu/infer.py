@@ -60,6 +60,7 @@ class Predictor:
         mesh=None,
         batch_stats=None,
         cameras=None,
+        quantized_layers: str | None = None,
     ):
         """``decode``: 'argmax' (tf_find_peaks parity), 'soft' — the
         differentiable soft-argmax decoder (pytorch/utils.py:47-83) — or
@@ -75,23 +76,44 @@ class Predictor:
         ((S, 4, 3, 4), (S, 4, 4, 3)) — required by the camera-matrix
         (disentangled FTL) model family, whose forward takes
         (x, P, P_inv); samples passed to ``__call__`` must align with
-        these rows."""
+        these rows.
+
+        ``quantized_layers``: ``None``/'all' quantises every supported
+        layer; 'conv_only' is the ViT mixed-precision serving mode —
+        only the CNN decoder's conv stack runs int8 while the
+        transformer trunk stays bf16 (DESIGN.md serving findings; the
+        hand-scheduled flagship BasicNet path is all-conv and ignores
+        this)."""
         from .models import needs_camera_matrices
 
         self.cfg = cfg
         self.model = build_model(cfg, image_shape, num_output_channels)
+        # ViT-family peaks-only serving: the decoder's per-sample min-max
+        # normalisation is strictly monotonic, so argmax peak locations are
+        # unchanged — skip materialising the normalised f32 maps (3 full-map
+        # HBM passes). The public val channel KEEPS the normalised-model
+        # semantics: the per-sample (per-view for the 4-cam ViT) min/max
+        # are recovered with one fused read-only reduce over the raw maps
+        # and applied to the decoded vals — bit-identical to decoding the
+        # normalised maps, since the affine rescale is monotone and is
+        # evaluated on the same f32 values. 'refined'/'soft' decodes and
+        # heatmap-returning paths keep the reference output path entirely.
+        self._val_renorm_views = 0
         if (
             decode == "argmax"
             and not return_heatmaps
             and getattr(self.model, "normalize_output", None) is True
         ):
-            # ViT-family peaks-only serving: the decoder's per-sample
-            # min-max normalisation is strictly monotonic, so argmax peak
-            # locations are unchanged — skip the f32 cast + min-max HBM
-            # passes (peak VALS then differ from the normalised model's;
-            # [x, y] are identical). 'refined'/'soft' decodes and
-            # heatmap-returning paths keep the reference output.
-            self.model = self.model.clone(normalize_output=False)
+            from .models.vit import ViT4Cameras
+
+            if isinstance(self.model, ViT4Cameras):
+                # the shared decoder normalises each camera view's channel
+                # block independently (models/vit.py ViT4Cameras)
+                self._val_renorm_views = 4
+            elif getattr(self.model, "flavor", None) == "torch":
+                self._val_renorm_views = 1
+            if self._val_renorm_views:
+                self.model = self.model.clone(normalize_output=False)
         self._needs_cams = needs_camera_matrices(cfg.model_type)
         self.cameras = None
         if cameras is not None:
@@ -156,13 +178,16 @@ class Predictor:
                     "quantized camera-matrix serving needs cameras"
                 )
                 Pc, Pic = self.cameras
-                n = min(len(np.asarray(calibration_frames)), 32)
                 fr = np.asarray(calibration_frames)
+                # camera rows must align 1:1 with the calibration frames
+                # (frames are assumed to be the head of the sample set the
+                # cameras were built for)
+                n = min(len(fr), len(Pc), 32)
                 calibration_frames = [
                     (
-                        jnp.asarray(fr[i : i + 8], jnp.float32),
-                        jnp.asarray(Pc[i : i + 8], jnp.float32),
-                        jnp.asarray(Pic[i : i + 8], jnp.float32),
+                        jnp.asarray(fr[i : min(i + 8, n)], jnp.float32),
+                        jnp.asarray(Pc[i : min(i + 8, n)], jnp.float32),
+                        jnp.asarray(Pic[i : min(i + 8, n)], jnp.float32),
                     )
                     for i in range(0, n, 8)
                 ]
@@ -183,13 +208,35 @@ class Predictor:
                 )
             else:
                 # generic interceptor-based int8 (ViT / multicam / ResNet /
-                # disentangled — models/quantized_generic.py)
-                from .models.quantized_generic import quantize_predict_fn
+                # disentangled — models/quantized_generic.py); 'conv_only'
+                # restricts the rewrite to the conv decoder stack (the ViT
+                # mixed-precision mode, see the class docstring)
+                from .models.quantized_generic import (
+                    conv_layers_only,
+                    quantize_predict_fn,
+                )
 
+                if quantized_layers in (None, "", "all"):
+                    layer_filter = None
+                elif quantized_layers == "conv_only":
+                    layer_filter = conv_layers_only
+                else:
+                    raise ValueError(
+                        f"unknown quantized_layers={quantized_layers!r}; "
+                        "expected 'all' or 'conv_only'"
+                    )
+                # camera-matrix models calibrate on the positional-tuple
+                # list built above — np.asarray would choke on its
+                # inhomogeneous (frames, P, P_inv) shapes
+                calib = (
+                    calibration_frames
+                    if isinstance(calibration_frames, list)
+                    else np.asarray(calibration_frames)
+                )
                 quantized_fwd = quantize_predict_fn(
-                    self.model, f32_variables,
-                    np.asarray(calibration_frames),
+                    self.model, f32_variables, calib,
                     out_dtype=jnp.bfloat16,
+                    layer_filter=layer_filter,
                 )
 
         def forward(variables, frames, *cams):
@@ -217,6 +264,25 @@ class Predictor:
                 pts = peaks.find_peaks_refined(maps)  # (B, 3, K)
             else:
                 pts = peaks.find_peaks_with_vals(maps)  # (B, 3, K)
+                if self._val_renorm_views:
+                    # recover the normalised-model val channel from the raw
+                    # maps: one fused read-only min/max reduce per view
+                    # block replaces the skipped min-max normalisation
+                    # (identical f32 expression, so vals match the
+                    # normalised model's decode exactly)
+                    v = self._val_renorm_views
+                    b, h, w, c = maps.shape
+                    m32 = maps.astype(jnp.float32).reshape(
+                        b, h, w, v, c // v
+                    )
+                    lo = jnp.min(m32, axis=(1, 2, 4))  # (B, V)
+                    hi = jnp.max(m32, axis=(1, 2, 4))
+                    lo_c = jnp.repeat(lo, c // v, axis=1)  # (B, C)
+                    rng_c = jnp.repeat(hi - lo, c // v, axis=1)
+                    vals = (pts[:, 2, :] - lo_c) / (rng_c + 1e-12)
+                    pts = jnp.concatenate(
+                        [pts[:, :2, :], vals[:, None, :]], axis=1
+                    )
             if return_heatmaps:
                 return maps, pts
             return pts

@@ -51,9 +51,14 @@ def conv_layers_only(module: nn.Module) -> bool:
     The mixed-precision serving mode for the ViT families: their decoder
     conv stack gains from int8 on the MXU while the transformer trunk's
     Dense chain (bound by the LayerNorm/softmax VPU work around it) serves
-    faster in bf16 (DESIGN.md serving findings).
+    faster in bf16 (DESIGN.md serving findings). The patch-embedding stem
+    conv is explicitly EXCLUDED even though it is an ``nn.Conv``: it feeds
+    every token of the (kept-float) trunk, so quantising it would inject
+    int8 error into the highest-sensitivity layer for no decoder-side gain.
     """
-    return isinstance(module, (nn.Conv, nn.ConvTranspose))
+    if not isinstance(module, (nn.Conv, nn.ConvTranspose)):
+        return False
+    return "patch_embed" not in module.path
 
 
 def _path_key(module: nn.Module) -> str:

@@ -33,13 +33,19 @@ def _argmax2d(confmaps: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
     plus a ``where(map == max, linear_index, H*W)`` min-reduce for the index
     is the same answer from two simple reduces — measured 1.2-1.4x faster at
     the (512, 192, 192, 18) serving shape, both f32 and bf16
-    (scripts/exp_decode.py)."""
+    (scripts/exp_decode.py).
+
+    A channel containing NaN (diverged model, corrupted frame) has
+    ``vals`` NaN and no pixel equal to it; the index clamps to the last
+    pixel instead of escaping the image — coordinates stay in-bounds and
+    the NaN ``val`` is the divergence signal (``jnp.argmax`` would point
+    at the first NaN instead; either coordinate is meaningless)."""
     n, h, w, c = confmaps.shape
     vals = jnp.max(confmaps, axis=(1, 2))  # (N, C)
     lin = jax.lax.broadcasted_iota(jnp.int32, (1, h, w, 1), 1) * w + \
         jax.lax.broadcasted_iota(jnp.int32, (1, h, w, 1), 2)
     masked = jnp.where(confmaps == vals[:, None, None, :], lin, h * w)
-    idx = jnp.min(masked, axis=(1, 2))  # (N, C)
+    idx = jnp.minimum(jnp.min(masked, axis=(1, 2)), h * w - 1)  # (N, C)
     return idx // w, idx % w, vals
 
 

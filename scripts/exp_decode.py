@@ -41,6 +41,21 @@ N, H, W, C = 512, 192, 192, 18
 K_SMALL, K_LARGE = 2, 8
 
 
+def variadic_argmax_decode(confmaps: jax.Array) -> jax.Array:
+    """The ORIGINAL shipped decode: jnp.argmax's variadic (value, index)
+    reduce. Kept inline as the baseline — ops/peaks.py itself now ships the
+    maskmin variant, so calling find_peaks_with_vals would measure the
+    winner against itself."""
+    n, h, w, c = confmaps.shape
+    flat = confmaps.reshape(n, h * w, c)
+    idx = jnp.argmax(flat, axis=1)
+    vals = jnp.max(flat, axis=1)
+    rows = idx // w
+    cols = idx % w
+    return jnp.stack([cols.astype(jnp.float32), rows.astype(jnp.float32),
+                      vals.astype(jnp.float32)], axis=1)
+
+
 def maskmin_decode(confmaps: jax.Array) -> jax.Array:
     n, h, w, c = confmaps.shape
     vals = jnp.max(confmaps, axis=(1, 2))  # (N, C)
@@ -105,17 +120,18 @@ def main():
     maps32 = jnp.asarray(rng.random((N, H, W, C)), jnp.float32)
     maps16 = maps32.astype(jnp.bfloat16)
 
-    # correctness first (on a small slice, vs the shipped decoder)
-    ref = np.asarray(peaks.find_peaks_with_vals(maps32[:8]))
-    for name, fn in [("maskmin", maskmin_decode), ("rowcol", rowcol_decode)]:
+    # correctness first (on a small slice, vs the variadic baseline)
+    ref = np.asarray(variadic_argmax_decode(maps32[:8]))
+    for name, fn in [("maskmin", maskmin_decode), ("rowcol", rowcol_decode),
+                     ("shipped", peaks.find_peaks_with_vals)]:
         got = np.asarray(fn(maps32[:8]))
         np.testing.assert_allclose(got, ref, rtol=0, atol=0, err_msg=name)
     print("correctness OK", flush=True)
 
     results = {}
     for name, fn, x in [
-        ("argmax_f32", peaks.find_peaks_with_vals, maps32),
-        ("argmax_bf16", peaks.find_peaks_with_vals, maps16),
+        ("argmax_f32", variadic_argmax_decode, maps32),
+        ("argmax_bf16", variadic_argmax_decode, maps16),
         ("maskmin_f32", maskmin_decode, maps32),
         ("maskmin_bf16", maskmin_decode, maps16),
         ("rowcol_f32", rowcol_decode, maps32),

@@ -331,9 +331,96 @@ def test_vit_peaks_only_serving_skips_normalisation():
 
     maps, pts_norm = p_maps(frames)
     pts_fast = p_fast(frames)
-    # [x, y] identical; vals intentionally differ (unnormalised)
+    # [x, y] identical AND vals identical: the fast path recovers the
+    # normalised-model val channel from the raw maps (one read-only
+    # min/max reduce — the public output contract is unchanged)
     np.testing.assert_array_equal(pts_fast[:, :2], pts_norm[:, :2])
+    np.testing.assert_array_equal(pts_fast[:, 2], pts_norm[:, 2])
     # normalised heatmaps stay the reference contract: per-sample [0, 1]
     flat = maps.reshape(maps.shape[0], -1)
     np.testing.assert_allclose(flat.min(axis=1), 0.0, atol=1e-6)
     np.testing.assert_allclose(flat.max(axis=1), 1.0, atol=1e-6)
+
+
+def test_vit4cam_peaks_only_val_channel_parity():
+    """ViT4Cameras normalises each camera view's channel block
+    independently — the peaks-only val recovery must match per view."""
+    cfg = Config(model_type="ALL_CAMS_18_POINTS_VIT", patch_size=16,
+                 projection_dim=32, transformer_layers=1, num_heads=2,
+                 dropout_ratio=0.0)
+    in_ch, out_ch = 16, 8  # 4 views x 4 image channels / x 2 maps
+    model = build_model(cfg, (HW, HW, in_ch), out_ch)
+    params = model.init(
+        {"params": jax.random.key(0)},
+        jnp.zeros((1, HW, HW, in_ch)), train=False,
+    )["params"]
+    frames = np.random.default_rng(2).random((5, HW, HW, in_ch)).astype(
+        np.float32
+    )
+    p_fast = Predictor(cfg, params, (HW, HW, in_ch), out_ch, chunk_size=4)
+    assert p_fast._val_renorm_views == 4
+    p_norm = Predictor(cfg, params, (HW, HW, in_ch), out_ch, chunk_size=4,
+                       return_heatmaps=True)
+    _, pts_norm = p_norm(frames)
+    pts_fast = p_fast(frames)
+    np.testing.assert_array_equal(pts_fast, pts_norm)
+
+
+def test_quantized_layers_conv_only_predictor():
+    """`quantized_layers='conv_only'` (the ViT mixed-precision serving
+    mode) is reachable from the Predictor and decodes finite peaks close
+    to the float model's."""
+    cfg = Config(model_type="MODEL_18_POINTS_PER_WING_VIT", patch_size=16,
+                 projection_dim=64, transformer_layers=2, num_heads=4,
+                 dropout_ratio=0.0, compute_dtype="float32")
+    model = build_model(cfg, (HW, HW, IN_CH), OUT_CH)
+    params = model.init(
+        {"params": jax.random.key(0)},
+        jnp.zeros((1, HW, HW, IN_CH)), train=False,
+    )["params"]
+    frames = np.random.default_rng(5).random((6, HW, HW, IN_CH)).astype(
+        np.float32
+    )
+    p_mixed = Predictor(cfg, params, (HW, HW, IN_CH), OUT_CH, chunk_size=4,
+                        use_quantized=True, calibration_frames=frames[:4],
+                        quantized_layers="conv_only")
+    p_float = Predictor(cfg, params, (HW, HW, IN_CH), OUT_CH, chunk_size=4)
+    pts_m, pts_f = p_mixed(frames), p_float(frames)
+    assert np.isfinite(pts_m).all()
+    d = np.linalg.norm(pts_m[:, :2] - pts_f[:, :2], axis=1)
+    assert np.median(d) <= 2.0, np.median(d)
+    with pytest.raises(ValueError):
+        Predictor(cfg, params, (HW, HW, IN_CH), OUT_CH,
+                  use_quantized=True, calibration_frames=frames[:4],
+                  quantized_layers="bogus")
+
+
+def test_quantized_disentangled_predictor_builds_and_runs():
+    """The generic-int8 Predictor path for camera-matrix models calibrates
+    on (frames, P, P_inv) positional tuples — regression for the
+    list-of-tuples-through-np.asarray crash."""
+    cfg = Config(model_type="ALL_CAMS_DISENTANGLED_PER_WING_CNN",
+                 num_base_filters=8, compute_dtype="float32")
+    in_ch, out_ch, S = 16, 8, 6
+    rng = np.random.default_rng(11)
+    frames = rng.random((S, HW, HW, in_ch)).astype(np.float32)
+    # plausible random cameras: finite P with well-conditioned pinv
+    P = rng.standard_normal((S, 4, 3, 4)).astype(np.float32)
+    P_inv = np.stack([np.linalg.pinv(P[i]) for i in range(S)]).astype(
+        np.float32
+    )
+    model = build_model(cfg, (HW, HW, in_ch), out_ch)
+    variables = model.init(
+        {"params": jax.random.key(0)},
+        jnp.zeros((1, HW, HW, in_ch)),
+        jnp.asarray(P[:1]), jnp.asarray(P_inv[:1]), train=False,
+    )
+    p = Predictor(
+        cfg, variables["params"], (HW, HW, in_ch), out_ch, chunk_size=4,
+        cameras=(P, P_inv), use_quantized=True,
+        calibration_frames=frames[:4],
+        batch_stats=variables.get("batch_stats"),
+    )
+    pts = p(frames)
+    assert pts.shape == (S, 3, out_ch)
+    assert np.isfinite(pts[:, :2]).all()

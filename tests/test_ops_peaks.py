@@ -145,3 +145,24 @@ def test_argmax2d_tie_break_matches_flat_argmax():
     np.testing.assert_array_equal(got[:, 0], (idx % w).astype(np.float32))
     np.testing.assert_array_equal(got[:, 1], (idx // w).astype(np.float32))
     np.testing.assert_array_equal(got[:, 2], flat.max(axis=1))
+
+
+def test_argmax2d_nan_channel_stays_in_bounds():
+    """A NaN-containing channel (diverged model / corrupted frame) must not
+    emit coordinates outside the image: the masked-min index clamps to the
+    last pixel and the NaN val is the divergence signal."""
+    h = w = 8
+    maps = np.zeros((2, h, w, 2), np.float32)
+    maps[0, 3, 4, 0] = 1.0
+    maps[0, :, :, 1] = np.nan         # whole channel NaN
+    maps[1, 2, 2, 0] = np.nan         # single NaN pixel
+    maps[1, 5, 6, 1] = 1.0
+    got = np.asarray(peaks.find_peaks_with_vals(jnp.asarray(maps)))
+    xs, ys, vals = got[:, 0], got[:, 1], got[:, 2]
+    assert (xs >= 0).all() and (xs <= w - 1).all(), xs
+    assert (ys >= 0).all() and (ys <= h - 1).all(), ys
+    # clean channels decode normally
+    assert (xs[0, 0], ys[0, 0]) == (4.0, 3.0)
+    assert (xs[1, 1], ys[1, 1]) == (6.0, 5.0)
+    # NaN-touched channels surface NaN in the val row
+    assert np.isnan(vals[0, 1]) and np.isnan(vals[1, 0])

@@ -252,13 +252,15 @@ def test_selective_quantization_layer_filter():
         "params"
     ]
 
-    # conv-only filter: scales cover the patch-embed conv + 4 decoder
-    # deconvs and exclude every Dense (to_qkv/to_out/fc1/fc2)
+    # conv-only filter: scales cover the 4 decoder deconvs and exclude
+    # every Dense (to_qkv/to_out/fc1/fc2) AND the patch-embed stem conv
+    # (it feeds every token of the kept-float trunk)
     scales = calibrate_apply(model, params, [(x,)],
                              layer_filter=conv_layers_only)
-    assert len(scales) == 5, sorted(scales)
+    assert len(scales) == 4, sorted(scales)
     assert not any(
         k.rsplit("/", 1)[-1] in ("to_qkv", "to_out", "fc1", "fc2")
+        or "patch_embed" in k
         for k in scales
     ), sorted(scales)
 
