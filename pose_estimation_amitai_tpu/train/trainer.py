@@ -181,6 +181,15 @@ class Trainer:
                 from ..parallel.pipeline import shard_state_pp
 
                 self.state = shard_state_pp(self.mesh, self.state, cfg)
+            elif self.mesh is not None:
+                # re-pin the restored host arrays to the declared DP/TP
+                # placement (replicated or column-sharded kernels) — the
+                # sharded step passes state through with in_shardings=None,
+                # so without this the resumed run trains on whatever layout
+                # XLA picks instead of the annotated one
+                from ..parallel.tensor import shard_state_tp
+
+                self.state = shard_state_tp(self.mesh, self.state, cfg)
             self.start_epoch = int(meta.get("epoch", -1)) + 1
             self.best_loss = float(
                 meta.get("best_loss", meta.get("val_loss", float("inf")))

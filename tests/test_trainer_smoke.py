@@ -74,6 +74,31 @@ def test_sharded_trainer_on_mesh(tmp_path, arrays):
     assert np.isfinite(history["train_loss"][0])
 
 
+def test_sharded_resume_repins_state_to_mesh(tmp_path, arrays):
+    """Resume on the DP/TP path re-pins restored host arrays to the mesh
+    placement (the PP path always re-staged; this guards the non-PP twin)."""
+    from jax.sharding import NamedSharding
+
+    trainer = Trainer(
+        _cfg(tmp_path, epochs=1, batch_size=8, batches_per_epoch=2),
+        arrays=arrays,
+    )
+    assert trainer.mesh is not None
+    trainer.train()
+
+    cfg2 = _cfg(tmp_path, epochs=2, batch_size=8, batches_per_epoch=2,
+                resume_from=trainer.run_path)
+    trainer2 = Trainer(cfg2, arrays=arrays)
+    assert trainer2.start_epoch == 1
+    import jax
+
+    for leaf in jax.tree_util.tree_leaves(trainer2.state.params):
+        assert isinstance(leaf.sharding, NamedSharding)
+        assert leaf.sharding.mesh.shape == trainer2.mesh.shape
+    history = trainer2.train()
+    assert np.isfinite(history["train_loss"][0])
+
+
 def test_save_every_epoch_weights(tmp_path, arrays):
     """Per-epoch weight snapshots (CallBacks.py:122-128 weights.{epoch}-{loss})."""
     trainer = Trainer(
