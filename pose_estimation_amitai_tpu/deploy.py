@@ -51,6 +51,12 @@ def export_predictor(predictor, path: str, platforms=None) -> dict:
         "export serves the peaks program; build the Predictor with "
         "return_heatmaps=False"
     )
+    if predictor._needs_cams:
+        raise ValueError(
+            f"{predictor.cfg.model_type} takes per-sample camera matrices "
+            "(x, P, P_inv); the exported artifact serves a frames-only "
+            "program — serve this family through infer.Predictor instead"
+        )
     cs = predictor.chunk_size
     ishape = predictor._image_shape
     spec = jax.ShapeDtypeStruct((cs, *ishape), jnp.float32)

@@ -335,7 +335,11 @@ def main(argv: list[str] | None = None) -> None:
             box = f["box"][:]
         if box.ndim == 5:  # (F, cams, H, W, C) -> flatten cameras
             box = box.reshape(-1, *box.shape[2:])
-        crops = box.astype(np.float32)
+        # same /255 normalisation as the supervised Preprocessor — a
+        # pretrained encoder must see the input scale fine-tuning will feed
+        from ..data.preprocess import normalize
+
+        crops = normalize(box)
     SelfSupTrainer(cfg, crops).train()
 
 

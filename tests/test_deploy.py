@@ -98,3 +98,26 @@ def test_cli_export_end_to_end(tmp_path, cfg_params):
     loaded = load_exported(out_path)
     frames = np.zeros((3, HW, HW, IN_CH), np.float32)
     assert loaded(frames).shape == (3, 3, OUT_CH)
+
+
+def test_export_camera_matrix_family_rejected(tmp_path):
+    """FTL camera-matrix models need (x, P, P_inv) — export refuses with a
+    clear error instead of an opaque trace failure."""
+    import pose_estimation_amitai_tpu.constants as C
+
+    cfg = Config(model_type=C.ALL_CAMS_DISENTANGLED_PER_WING_CNN,
+                 num_base_filters=8, dropout_ratio=0.0)
+    model = build_model(cfg, (HW, HW, 16), OUT_CH * 4)
+    params = model.init(
+        {"params": jax.random.key(0)},
+        jnp.zeros((1, HW, HW, 16), jnp.float32),
+        jnp.zeros((1, 4, 3, 4), jnp.float32),
+        jnp.zeros((1, 4, 4, 3), jnp.float32),
+        train=False,
+    )["params"]
+    cams = (np.zeros((4, 4, 3, 4), np.float32),
+            np.zeros((4, 4, 4, 3), np.float32))
+    pred = Predictor(cfg, params, (HW, HW, 16), OUT_CH * 4,
+                     chunk_size=CHUNK, cameras=cams)
+    with pytest.raises(ValueError, match="camera matrices"):
+        export_predictor(pred, os.path.join(tmp_path, "m.pexp"))

@@ -109,3 +109,36 @@ def test_pretrain_smoke_and_checkpoint(tmp_path):
 
     assert os.path.exists(os.path.join(run, "checkpoint.msgpack"))
     assert os.path.exists(os.path.join(run, "configuration.json"))
+
+
+def test_main_h5_path_normalizes_uint8(tmp_path, monkeypatch):
+    """The CLI's H5 source must land in the supervised input scale ([0, 1]);
+    raw uint8 boxes would pretrain an encoder on a 255x-off scale."""
+    import json
+
+    import h5py
+
+    from pose_estimation_amitai_tpu.train import selfsup
+
+    h5 = str(tmp_path / "crops.h5")
+    with h5py.File(h5, "w") as f:
+        f["box"] = (np.random.default_rng(0)
+                    .integers(0, 256, (3, 2, 16, 16, 5)).astype(np.uint8))
+    cfg_path = str(tmp_path / "cfg.json")
+    json.dump({"epochs": 1, "batch_size": 2,
+               "base output path": str(tmp_path)}, open(cfg_path, "w"))
+
+    seen = {}
+
+    class FakeTrainer:
+        def __init__(self, cfg, crops):
+            seen["crops"] = crops
+
+        def train(self):
+            return {}
+
+    monkeypatch.setattr(selfsup, "SelfSupTrainer", FakeTrainer)
+    selfsup.main([cfg_path, h5])
+    crops = seen["crops"]
+    assert crops.shape == (6, 16, 16, 5)  # cameras flattened
+    assert crops.dtype == np.float32 and crops.max() <= 1.0
