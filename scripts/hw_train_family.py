@@ -12,6 +12,11 @@ rows — the reference trains every family through one loop too
 jitted step + on-device augmentation.
 
 Run: python scripts/hw_train_family.py MODEL_TYPE [epochs] [batches] [batch]
+       [config-overrides-JSON]
+
+The optional 5th arg merges into the generated config — e.g.
+'{"checkpoint_every": 50}' keeps long runs cheap through a remote-attached
+runtime (the every-epoch full-state fetch dominates a 1.5 s/epoch run).
 """
 
 from __future__ import annotations
@@ -31,6 +36,7 @@ def main() -> None:
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 30
     batches = int(sys.argv[3]) if len(sys.argv) > 3 else 30
     batch = int(sys.argv[4]) if len(sys.argv) > 4 else 16
+    overrides = json.loads(sys.argv[5]) if len(sys.argv) > 5 else {}
 
     import jax
 
@@ -64,6 +70,7 @@ def main() -> None:
         "save_every_epoch": 0,
         "compute_dtype": "bfloat16",
     }
+    cfg.update(overrides)
     cfg_path = os.path.join(work, "config.json")
     with open(cfg_path, "w") as f:
         json.dump(cfg, f)
