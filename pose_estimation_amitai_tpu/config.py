@@ -79,6 +79,7 @@ _ALIASES: dict[str, tuple[str, ...]] = {
     # TPU-rebuild-only knobs (absent from the reference dialect).
     "checkpoint_every": ("checkpoint_every",),
     "async_checkpoint": ("async_checkpoint",),
+    "best_min_rel_delta": ("best_min_rel_delta",),
     "compute_dtype": ("compute_dtype",),
     "arch_flavor": ("arch_flavor",),
     "mesh_shape": ("mesh_shape",),
@@ -172,6 +173,14 @@ class Config:
     # msgpack encode overlap the next epoch's dispatched work; saves stay
     # atomic and ordered — train/checkpoint.py AsyncCheckpointer)
     async_checkpoint: bool = True
+    # min RELATIVE val-loss improvement that triggers a best-model write
+    # (0 = reference parity: every improvement writes, pytorch/
+    # train_pytorch.py:177-181). On a steadily-descending curve every epoch
+    # writes a full-state snapshot — through a remote-attached runtime that
+    # device->host fetch can dominate short-epoch regimes; e.g. 0.01 writes
+    # only on >=1% improvements. The in-memory best marker (and the metric
+    # printed/logged) still updates on EVERY improvement.
+    best_min_rel_delta: float = 0.0
     compute_dtype: str = "bfloat16"  # bf16 compute / f32 params (no AMP scaler)
     arch_flavor: str = "torch"  # 'torch' | 'tf': pins LeakyReLU alpha + skips
     mesh_shape: tuple[int, ...] = ()  # () => 1-D data mesh over all devices

@@ -174,6 +174,7 @@ class Trainer:
 
         self.start_epoch = 0
         self.best_loss = float("inf")
+        self._best_written = float("inf")
         if cfg.resume_from:
             self.state, meta = ckpt.restore_checkpoint(cfg.resume_from, self.state)
             if cfg.pipeline_stages > 1 and self.mesh is not None:
@@ -194,6 +195,8 @@ class Trainer:
             self.best_loss = float(
                 meta.get("best_loss", meta.get("val_loss", float("inf")))
             )
+            # a best_model at best_loss is already on disk
+            self._best_written = self.best_loss
             if meta.get("scheduler"):
                 self.scheduler.load_state_dict(meta["scheduler"])
             print(f"Resumed from {cfg.resume_from} at epoch {self.start_epoch}",
@@ -369,10 +372,18 @@ class Trainer:
             epoch_secs.append(time() - t_epoch)
 
             if val_loss < self.best_loss:
-                self.best_loss = val_loss
-                self._ckpt_writer.save_checkpoint(
-                    self.run_path, self.state, epoch, val_loss, best=True
+                # best-model write gated on a minimum relative improvement
+                # (best_min_rel_delta; 0 = reference parity, every
+                # improvement) — the in-memory marker still tracks every one
+                write_best = val_loss < self._best_written * (
+                    1.0 - cfg.best_min_rel_delta
                 )
+                self.best_loss = val_loss
+                if write_best:
+                    self._best_written = val_loss
+                    self._ckpt_writer.save_checkpoint(
+                        self.run_path, self.state, epoch, val_loss, best=True
+                    )
             if cfg.save_every_epoch:
                 self._ckpt_writer.save_params(
                     os.path.join(

@@ -185,3 +185,37 @@ def test_checkpoint_every_and_viz_gating(tmp_path, arrays):
     # per-epoch CSV rows all present
     with open(os.path.join(rp, "losses.csv")) as f:
         assert len(f.readlines()) == 4  # header + 3 epochs
+
+
+def test_best_min_rel_delta_gates_best_writes(tmp_path, arrays, monkeypatch):
+    """best_min_rel_delta=0.99 writes best_model once (the first finite
+    improvement); the in-memory best marker still tracks every epoch."""
+    import unittest.mock as mock
+
+    from pose_estimation_amitai_tpu.train import checkpoint as ckpt
+
+    trainer = Trainer(
+        _cfg(tmp_path, epochs=3, batches_per_epoch=1,
+             best_min_rel_delta=0.99),
+        arrays=arrays,
+    )
+    calls = []
+    real = ckpt.save_checkpoint
+
+    def spy(run_path, state, epoch, val_loss, scheduler_state=None,
+            best=False, **kw):
+        calls.append((epoch, best))
+        return real(run_path, state, epoch, val_loss,
+                    scheduler_state=scheduler_state, best=best, **kw)
+
+    with mock.patch.object(
+        __import__("pose_estimation_amitai_tpu.train.trainer",
+                   fromlist=["ckpt"]).ckpt,
+        "save_checkpoint", spy,
+    ):
+        history = trainer.train()
+    best_writes = [e for e, best in calls if best]
+    # inf -> first val loss always crosses a 99% threshold; later epochs
+    # cannot improve 99% on a finite loss
+    assert best_writes == [0], calls
+    assert trainer.best_loss == min(history["val_loss"])
