@@ -545,12 +545,24 @@ class Trainer:
             return
         ids = np.asarray(self.dataset.val_inds[:1], np.int32)
         batch = self.dataset.gather(ids)
-        variables = {"params": self.state.params}
-        if self.state.batch_stats:
-            variables["batch_stats"] = self.state.batch_stats
         from .loop import _model_args
 
-        pred = self.model.apply(variables, *_model_args(batch), train=False)
+        if not hasattr(self, "_viz_forward"):
+            # jitted: an eager model.apply dispatches hundreds of ops —
+            # per-epoch seconds through a remote-attached runtime
+            # (measured ~30-50 s/epoch for the ResNet family)
+            import jax as _jax
+
+            def _fwd(params, batch_stats, args):
+                variables = {"params": params}
+                if batch_stats:
+                    variables["batch_stats"] = batch_stats
+                return self.model.apply(variables, *args, train=False)
+
+            self._viz_forward = _jax.jit(_fwd)
+        pred = self._viz_forward(
+            self.state.params, self.state.batch_stats, _model_args(batch)
+        )
         pts = np.asarray(peaks_ops.find_peaks(np.asarray(pred)))[0]
         gt = np.asarray(
             peaks_ops.find_peaks(np.asarray(batch["confmaps"]))
