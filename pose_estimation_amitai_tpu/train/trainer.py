@@ -356,7 +356,12 @@ class Trainer:
                         self.scheduler.lr_scale,
                     )
                 step_losses.append(loss)
-            train_loss = float(np.mean([float(l) for l in step_losses]))
+            # ONE stacked fetch: per-loss float() would pay one host<->device
+            # round trip per update (~15 sequential round trips per epoch
+            # through a remote-attached runtime)
+            import jax.numpy as jnp
+
+            train_loss = float(jnp.stack(step_losses).mean())
             train_losses.append(train_loss)
             print(f"Train Loss: {train_loss:.7f}", flush=True)
 
@@ -458,14 +463,22 @@ class Trainer:
     def evaluate(self) -> tuple[float, np.ndarray, np.ndarray]:
         """Full-val MSE + decoded-peak pixel L2 (mean over batches)."""
         cfg = self.cfg
-        total, count = 0.0, 0
-        l2_chunks = []
+        counts: list[int] = []
+        mses = []
+        l2s = []
+        # dispatch every batch first, fetch once at the end: a float()/
+        # asarray() per batch costs one host<->device round trip each
         for batch, n_valid in self.dataset.val_payloads(cfg.batch_size):
             mse, l2 = self.eval_step(self.state, batch)
-            total += float(mse) * n_valid
-            count += n_valid
-            l2_chunks.append(np.asarray(l2)[:n_valid])
-        l2_per_sample = np.concatenate(l2_chunks, axis=0)  # (N, P)
+            counts.append(n_valid)
+            mses.append(mse)
+            l2s.append(l2)
+        mses, l2s = jax.device_get((mses, l2s))
+        total = sum(float(m) * n for m, n in zip(mses, counts))
+        count = sum(counts)
+        l2_per_sample = np.concatenate(
+            [np.asarray(l)[:n] for l, n in zip(l2s, counts)], axis=0
+        )  # (N, P)
         l2_per_point = l2_per_sample.T  # (P, N)
         return total / max(count, 1), l2_per_sample.flatten(), l2_per_point
 
