@@ -351,6 +351,8 @@ class Preprocessor:
         mt = self.model_type
         if mt in (C.ALL_POINTS_MODEL, C.ALL_POINTS_MODEL_VIT):
             return self.reshape_to_cnn_input
+        if mt == C.ALL_CAMS_ALL_POINTS:
+            return self.reshape_to_all_cams_all_points
         if mt in (C.PER_WING_MODEL, C.TRAIN_ON_3_GOOD_CAMERAS_MODEL,
                   C.ALL_CAMS, C.PER_WING_SMALL_WINGS_MODEL,
                   C.PER_WING_1_SIZE_RANK):
@@ -708,6 +710,37 @@ class Preprocessor:
         self.box[..., self.right_mask_ind] = adjust_mask_np(
             self.box[..., self.right_mask_ind], self.mask_dilation
         )
+
+    def reshape_to_all_cams_all_points(self) -> None:
+        """ALL_CAMS_ALL_POINTS path (tensorflow/preprocessor.py:163-185).
+
+        Per-wing mask/confmap pairing in the ALL_POINTS layout, then all 4
+        cameras concatenated on the channel axis for both box and confmaps;
+        finally both wing-mask channels of every camera block are cleaned
+        with adjust_mask (the reference hard-codes masks_inds
+        [3, 4, 8, 9, 13, 14, 18, 19] for its 5-channel blocks at :179-185 —
+        derived generically here so ``single_time_channel`` survives)."""
+        head_tail = self.confmaps[..., -2:]
+        wings_cm = self.confmaps[..., :-2]
+        self.box, wings_cm = self.split_per_wing(
+            self.box, wings_cm, C.ALL_POINTS_MODEL, C.RANDOM_TRAIN_SET
+        )
+        self.confmaps = np.concatenate((wings_cm, head_tail), axis=-1)
+        num_cams = self.box.shape[1]
+        cpb = self.box.shape[-1]  # channels per camera block (T + 2 masks)
+        self.box = np.concatenate(
+            [self.box[:, c] for c in range(num_cams)], axis=-1
+        )
+        self.confmaps = np.concatenate(
+            [self.confmaps[:, c] for c in range(num_cams)], axis=-1
+        )
+        self.num_samples = self.box.shape[0]
+        for cam in range(num_cams):
+            for m in (self.left_mask_ind, self.right_mask_ind):
+                ch = cam * cpb + m
+                self.box[..., ch] = adjust_mask_np(
+                    self.box[..., ch], self.mask_dilation
+                )
 
     def do_reshape_per_wing(self) -> None:
         """PER_WING / 3-good-cams / ALL_CAMS path

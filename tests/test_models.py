@@ -120,3 +120,25 @@ def test_torch_vit_decoder_normalisation_is_per_sample():
     _np.testing.assert_allclose(
         _np.asarray(solo), _np.asarray(batched), rtol=1e-5, atol=1e-5
     )
+
+
+def test_all_cams_all_points_trains_end_to_end(tmp_path):
+    """The ALL_CAMS_ALL_POINTS path through the full Trainer: 4-camera
+    channel concat reshape -> MultiCamNet -> one epoch (regression: the
+    model type used to fall through to the per-wing reshape and crash with
+    a channel mismatch in the loss)."""
+    import numpy as np
+
+    from pose_estimation_amitai_tpu.data.synthetic import make_synthetic_arrays
+    from pose_estimation_amitai_tpu.train.trainer import Trainer
+
+    arrays = make_synthetic_arrays(num_frames=6, num_points=8, image_size=48,
+                                   seed=0)
+    cfg = Config(model_type=C.ALL_CAMS_ALL_POINTS, epochs=1, batch_size=4,
+                 batches_per_epoch=1, num_base_filters=8, dropout_ratio=0.0,
+                 base_output_path=str(tmp_path), do_augmentations=True,
+                 rotation_range=10.0, xy_shifts=2.0, val_fraction=0.5, seed=0)
+    trainer = Trainer(cfg, arrays=arrays)
+    history = trainer.train()
+    assert np.isfinite(history["train_loss"][0])
+    assert np.isfinite(history["val_loss"][0])

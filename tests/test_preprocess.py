@@ -209,3 +209,20 @@ def test_mix_with_test(arrays, tmp_path):
     p.do_preprocess()
     # 5 train + 3 test frames -> 2 wings x 8 frames x 4 cams samples
     assert p.get_box().shape[0] == 2 * (5 + 3) * 4
+
+
+def test_all_cams_all_points_reshape(arrays):
+    """ALL_CAMS_ALL_POINTS concatenates all 4 cameras on channels for both
+    box and confmaps (tensorflow/preprocessor.py:163-185); every camera
+    block keeps its full (T + 2 masks) channel set."""
+    p = _pre(arrays, C.ALL_CAMS_ALL_POINTS)
+    box, cm = p.get_box(), p.get_confmaps()
+    # 5 frames; 4 cams x (3 time + 2 masks) box channels
+    assert box.shape == (5, 48, 48, 4 * 5)
+    # 4 cams x (8 wing points + head/tail) confmap channels
+    assert cm.shape == (5, 48, 48, 4 * (8 + 2))
+    # mask channels stay binary-ish after adjust_mask
+    for cam in range(4):
+        for m in (3, 4):
+            vals = np.unique(box[..., cam * 5 + m])
+            assert set(vals).issubset({0.0, 1.0})
