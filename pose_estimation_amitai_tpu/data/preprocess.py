@@ -349,7 +349,10 @@ class Preprocessor:
 
     def _dispatch(self):
         mt = self.model_type
-        if mt in (C.ALL_POINTS_MODEL, C.ALL_POINTS_MODEL_VIT):
+        # reference: tensorflow/preprocessor.py:119-146 +
+        # pytorch/preprocessor.py:120-134 (union of both dispatchers)
+        if mt in (C.ALL_POINTS_MODEL, C.ALL_POINTS_MODEL_VIT,
+                  C.TWO_WINGS_TOGATHER, C.HEAD_TAIL):
             return self.reshape_to_cnn_input
         if mt == C.ALL_CAMS_ALL_POINTS:
             return self.reshape_to_all_cams_all_points
@@ -362,6 +365,8 @@ class Preprocessor:
             C.MODEL_18_POINTS_3_GOOD_CAMERAS,
             C.MODEL_18_POINTS_3_GOOD_CAMERAS_VIT,
             C.MODEL_18_POINTS_PER_WING_VIT,
+            C.MODEL_18_POINTS_PER_WING_VIT_TO_POINTS,
+            C.RESNET_18_POINTS_PER_WING,
             C.GPTNET,
         ):
             return self.do_preprocess_18_pnts
@@ -370,14 +375,15 @@ class Preprocessor:
             C.ALL_CAMS_DISENTANGLED_PER_WING_VIT,
             C.ALL_CAMS_DISENTANGLED_PER_WING_CNN,
             C.ALL_CAMS_18_POINTS_VIT,
+            C.ALL_CAMS_VIT,
+            C.VIT_4_CAMERAS,
         ):
             return self.reshape_for_all_cams_18_points
         if mt == C.BODY_PARTS_MODEL:
             return self.reshape_to_body_parts
         if mt == C.HEAD_TAIL_ALL_CAMS:
             return self.do_preprocess_head_tail_all_cams
-        if mt in (C.HEAD_TAIL_PER_CAM, C.HEAD_TAIL_PER_CAM_POINTS_LOSS,
-                  C.HEAD_TAIL):
+        if mt in (C.HEAD_TAIL_PER_CAM, C.HEAD_TAIL_PER_CAM_POINTS_LOSS):
             return self.do_preprocess_head_tail_per_cam
         # Safe default: per-wing reshape (covers the remaining per-wing types).
         return self.do_reshape_per_wing

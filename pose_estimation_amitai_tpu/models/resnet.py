@@ -177,6 +177,7 @@ class ResNetHeatmapNet(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        h, w = x.shape[1:3]
         y = ResNet50Encoder(dtype=self.dtype, name="encoder")(x, train=train)
         feat = y.shape[-1]
         for i in range(4):
@@ -192,4 +193,8 @@ class ResNetHeatmapNet(nn.Module):
             strides=(2, 2), padding="SAME", dtype=self.dtype,
             param_dtype=jnp.float32, name="head",
         )(y)
+        # input sizes not divisible by 32 ceil-divide through the encoder,
+        # so the 5 stride-2 deconvs overshoot; crop back to the input dims
+        # (always >=, e.g. 48 -> 2x2 latent -> 64)
+        y = y[:, :h, :w, :]
         return leaky(y, TF_ALPHA).astype(jnp.float32)

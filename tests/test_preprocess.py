@@ -226,3 +226,52 @@ def test_all_cams_all_points_reshape(arrays):
         for m in (3, 4):
             vals = np.unique(box[..., cam * 5 + m])
             assert set(vals).issubset({0.0, 1.0})
+
+
+def test_dispatch_matches_reference_routing(arrays):
+    """Every reference-dispatchable string routes to the reference's
+    preprocess path (tensorflow/preprocessor.py:119-146 union
+    pytorch/preprocessor.py:120-134). Regression: RESNET/VIT_TO_POINTS fell
+    to the per-wing path, ALL_CAMS_VIT to per-wing, TWO_WINGS_TOGATHER and
+    HEAD_TAIL to the wrong families."""
+    routes = {
+        C.RESNET_18_POINTS_PER_WING: "do_preprocess_18_pnts",
+        C.MODEL_18_POINTS_PER_WING_VIT_TO_POINTS: "do_preprocess_18_pnts",
+        C.ALL_CAMS_VIT: "reshape_for_all_cams_18_points",
+        C.VIT_4_CAMERAS: "reshape_for_all_cams_18_points",
+        C.TWO_WINGS_TOGATHER: "reshape_to_cnn_input",
+        C.HEAD_TAIL: "reshape_to_cnn_input",
+        C.ALL_CAMS_ALL_POINTS: "reshape_to_all_cams_all_points",
+        C.HEAD_TAIL_PER_CAM: "do_preprocess_head_tail_per_cam",
+    }
+    for mt, fn_name in routes.items():
+        cfg = Config(model_type=mt)
+        p = Preprocessor(cfg, {k: v.copy() for k, v in arrays.items()})
+        assert p._dispatch().__func__.__name__ == fn_name, mt
+
+
+def test_resnet_18_points_shapes(arrays):
+    """RESNET_18_POINTS_PER_WING gets the 18-pnts layout (per-wing samples
+    with head/tail target channels), not the plain per-wing one."""
+    p = _pre(arrays, C.RESNET_18_POINTS_PER_WING)
+    box, cm = p.get_box(), p.get_confmaps()
+    assert box.shape == (2 * 5 * 4, 48, 48, 4)
+    assert cm.shape == (2 * 5 * 4, 48, 48, 4 + 2)
+
+
+def test_all_cams_vit_shapes(arrays):
+    """ALL_CAMS_VIT consumes the 4-camera channel-concat layout
+    (tensorflow/preprocessor.py:142-146)."""
+    p = _pre(arrays, C.ALL_CAMS_VIT)
+    box, cm = p.get_box(), p.get_confmaps()
+    assert box.shape == (2 * 5, 48, 48, 4 * 4)
+    assert cm.shape == (2 * 5, 48, 48, 4 * (4 + 2))
+
+
+def test_two_wings_togather_shapes(arrays):
+    """TWO_WINGS_TOGATHER keeps the ALL_POINTS layout: per-camera samples
+    with both wing masks + all wing points."""
+    p = _pre(arrays, C.TWO_WINGS_TOGATHER)
+    box, cm = p.get_box(), p.get_confmaps()
+    assert box.shape == (5 * 4, 48, 48, 5)
+    assert cm.shape == (5 * 4, 48, 48, 8 + 2)
