@@ -356,8 +356,9 @@ class Preprocessor:
             return self.reshape_to_cnn_input
         if mt == C.ALL_CAMS_ALL_POINTS:
             return self.reshape_to_all_cams_all_points
-        if mt in (C.PER_WING_MODEL, C.TRAIN_ON_3_GOOD_CAMERAS_MODEL,
-                  C.ALL_CAMS, C.PER_WING_SMALL_WINGS_MODEL,
+        if mt in (C.PER_WING_MODEL, C.TRAIN_ON_2_GOOD_CAMERAS_MODEL,
+                  C.TRAIN_ON_3_GOOD_CAMERAS_MODEL, C.ALL_CAMS,
+                  C.ALL_CAMS_AND_3_GOOD_CAMS, C.PER_WING_SMALL_WINGS_MODEL,
                   C.PER_WING_1_SIZE_RANK):
             return self.do_reshape_per_wing
         if mt in (
@@ -756,17 +757,25 @@ class Preprocessor:
         )
         self._adjust_masks_per_wing()
         needs_ranking = self.model_type in (
-            C.TRAIN_ON_3_GOOD_CAMERAS_MODEL, C.ALL_CAMS,
+            C.TRAIN_ON_2_GOOD_CAMERAS_MODEL, C.TRAIN_ON_3_GOOD_CAMERAS_MODEL,
+            C.ALL_CAMS, C.ALL_CAMS_AND_3_GOOD_CAMS,
             C.PER_WING_SMALL_WINGS_MODEL, C.PER_WING_1_SIZE_RANK,
         )
         wings_sizes_all = self._per_wing_net_sizes() if needs_ranking else None
-        if self.model_type == C.TRAIN_ON_3_GOOD_CAMERAS_MODEL:
+        if self.model_type in (C.TRAIN_ON_2_GOOD_CAMERAS_MODEL,
+                               C.TRAIN_ON_3_GOOD_CAMERAS_MODEL):
+            # keep the n best cameras per frame
+            # (tensorflow/preprocessor.py:453-455)
+            n = 3 if self.model_type == C.TRAIN_ON_3_GOOD_CAMERAS_MODEL else 2
             self.box, self.confmaps, _, _, _ = self.take_n_good_cameras(
-                self.box, self.confmaps, 3, wing_sizes=wings_sizes_all
+                self.box, self.confmaps, n, wing_sizes=wings_sizes_all
             )
-        if self.model_type == C.ALL_CAMS:
+        if self.model_type in (C.ALL_CAMS, C.ALL_CAMS_AND_3_GOOD_CAMS):
+            # ALL_CAMS_AND_3_GOOD_CAMS keeps only the 3 best cameras before
+            # the channel concat (tensorflow/preprocessor.py:457-463)
+            n = 3 if self.model_type == C.ALL_CAMS_AND_3_GOOD_CAMS else 4
             self.box, self.confmaps, _, _, _ = self.take_n_good_cameras(
-                self.box, self.confmaps, 4, wing_sizes=wings_sizes_all
+                self.box, self.confmaps, n, wing_sizes=wings_sizes_all
             )
             num_cams = self.box.shape[1]
             self.box = np.concatenate(

@@ -275,3 +275,22 @@ def test_two_wings_togather_shapes(arrays):
     box, cm = p.get_box(), p.get_confmaps()
     assert box.shape == (5 * 4, 48, 48, 5)
     assert cm.shape == (5 * 4, 48, 48, 8 + 2)
+
+
+def test_two_good_cameras(arrays):
+    """TRAIN_ON_2_GOOD_CAMERAS_MODEL keeps the 2 best cameras per frame
+    (tensorflow/preprocessor.py:453-455)."""
+    p = _pre(arrays, C.TRAIN_ON_2_GOOD_CAMERAS_MODEL)
+    box, cm = p.get_box(), p.get_confmaps()
+    assert box.shape == (2 * 5 * 2, 48, 48, 4)
+    assert cm.shape[0] == 2 * 5 * 2
+
+
+def test_all_cams_and_3_good_cams(arrays):
+    """ALL_CAMS_AND_3_GOOD_CAMS selects the 3 best cameras then concats
+    them on channels (tensorflow/preprocessor.py:457-463)."""
+    p = _pre(arrays, C.ALL_CAMS_AND_3_GOOD_CAMS)
+    box, cm = p.get_box(), p.get_confmaps()
+    assert box.shape == (2 * 5, 48, 48, 3 * 4)
+    # per-wing split halves the 10 confmap channels -> 5 per camera
+    assert cm.shape == (2 * 5, 48, 48, 3 * 5)
