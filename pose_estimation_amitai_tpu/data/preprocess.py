@@ -110,10 +110,16 @@ class Preprocessor:
         self._points_3d_raw = np.asarray(arrays["points_3D"], np.float32)
 
         if self.debug_mode:
-            # truncate to 10 frames (pytorch/preprocessor.py:42-51)
+            # truncate to 10 frames (pytorch/preprocessor.py:42-51); 6-D
+            # movie-pair files truncate the FRAME axis, not the pair axis
+            # (tensorflow/preprocessor.py:52-58)
             n = 10
-            self.box = self.box[:n]
-            self.confmaps = self.confmaps[:n]
+            if self.box.ndim == 6:
+                self.box = self.box[:, :n]
+                self.confmaps = self.confmaps[:, :n]
+            else:
+                self.box = self.box[:n]
+                self.confmaps = self.confmaps[:n]
             self.cropzone = self.cropzone[:n]
             self._points_3d_raw = self._points_3d_raw[:n]
 
@@ -751,7 +757,17 @@ class Preprocessor:
 
     def do_reshape_per_wing(self) -> None:
         """PER_WING / 3-good-cams / ALL_CAMS path
-        (pytorch/preprocessor.py:499-528)."""
+        (pytorch/preprocessor.py:499-528).
+
+        6-D movie-pair files flatten to frames first — equivalent to the
+        reference's per-movie split + concat (tensorflow/preprocessor.py:
+        444-449) because the RANDOM_TRAIN_SET pairing is per-frame.
+        """
+        if self.box.ndim == 6:
+            self.box = self.box.reshape((-1,) + self.box.shape[2:])
+            self.confmaps = self.confmaps.reshape(
+                (-1,) + self.confmaps.shape[2:]
+            )
         self.box, self.confmaps = self.split_per_wing(
             self.box, self.confmaps, C.PER_WING_MODEL, C.RANDOM_TRAIN_SET
         )

@@ -294,3 +294,20 @@ def test_all_cams_and_3_good_cams(arrays):
     assert box.shape == (2 * 5, 48, 48, 3 * 4)
     # per-wing split halves the 10 confmap channels -> 5 per camera
     assert cm.shape == (2 * 5, 48, 48, 3 * 5)
+
+
+def test_per_wing_movie_pair_and_debug_truncation(arrays):
+    """6-D movie-pair files work through the per-wing path, and debug mode
+    truncates the FRAME axis of pair files, not the pair axis
+    (tensorflow/preprocessor.py:52-58, 444-449)."""
+    paired = dict(arrays)
+    paired["box"] = np.stack([arrays["box"], arrays["box"][::-1]])
+    paired["confmaps"] = np.stack(
+        [arrays["confmaps"], arrays["confmaps"][::-1]]
+    )
+    p = _pre(paired, C.PER_WING_MODEL)
+    assert p.get_box().shape == (2 * 2 * 5 * 4, 48, 48, 4)
+
+    p = _pre(paired, C.PER_WING_MODEL, debug_mode=True)
+    # 5 frames/movie < 10-frame cap: nothing lost, pair axis intact
+    assert p.get_box().shape == (2 * 2 * 5 * 4, 48, 48, 4)
