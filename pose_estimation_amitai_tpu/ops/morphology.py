@@ -156,6 +156,7 @@ def random_mask_redilation(
     images: jax.Array,
     max_dilation: int,
     num_views: int = 1,
+    num_time_channels: int = 3,
 ) -> jax.Array:
     """Randomly re-dilate the wing-mask channels per sample (jit-safe).
 
@@ -181,13 +182,19 @@ def random_mask_redilation(
     """
     b, h, w, c = images.shape
     v = int(num_views)
-    if v > 1:
-        cpv = c // v
-        mask_inds = [cpv * (i + 1) - 1 for i in range(v)]
-    elif c == 5:
-        mask_inds = [c - 2, c - 1]
-    else:
-        mask_inds = [c - 1]
+    cpv = c // v
+    # masks per view block = channels beyond the time channels: 1 for
+    # per-wing layouts (T+1), 2 for all-points layouts (T+2) — generalises
+    # the reference's table (4 -> [-1], 5 -> [-2,-1], 16 -> every 4th) to
+    # every view count and to single_time_channel inputs
+    masks_per_view = max(0, min(cpv - int(num_time_channels), 2))
+    if masks_per_view == 0:
+        return images
+    mask_inds = [
+        cpv * (i + 1) - 1 - m
+        for i in range(v)
+        for m in range(masks_per_view)
+    ]
 
     k_apply, k_size = jax.random.split(key)
     apply = jax.random.bernoulli(k_apply, 0.5, (b,))

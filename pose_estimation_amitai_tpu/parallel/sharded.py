@@ -120,6 +120,7 @@ def make_sharded_train_step(model, cfg: Config, mesh: Mesh):
             box = random_mask_redilation(
                 dkey, box, cfg.wings_masks_dilation,
                 num_views=layout_views(cfg.model_type),
+                num_time_channels=1 if cfg.single_time_channel else 3,
             )
         mb = dict(mb, image=box, confmaps=confmaps)
         if view_mats is not None and "P" in mb:

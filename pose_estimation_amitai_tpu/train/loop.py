@@ -228,6 +228,7 @@ def make_train_step(model, cfg: Config):
             box = random_mask_redilation(
                 dkey, box, cfg.wings_masks_dilation,
                 num_views=layout_views(cfg.model_type),
+                num_time_channels=1 if cfg.single_time_channel else 3,
             )
         batch = {"image": box, "confmaps": confmaps}
         for k in ("P", "P_inv"):

@@ -242,3 +242,33 @@ def test_dropped_reference_keys_still_ingest():
     assert cfg.shear_range == 10.0
     assert cfg.epochs_pointwise_loss == 5
     assert cfg.wings_masks_dilation == 3
+
+
+def test_mask_redilation_two_masks_per_view():
+    """ALL_CAMS_ALL_POINTS layout (4 views x [3 time + 2 masks]): BOTH mask
+    channels of every view block re-dilate — the reference's hard-coded
+    table has no 20-channel entry (tensorflow/simple_data_generator.py:
+    104-111 asserts); generalised via channels-per-view minus time
+    channels."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pose_estimation_amitai_tpu.ops import morphology
+
+    b, hw = 4, 16
+    img20 = np.zeros((b, hw, hw, 20), np.float32)
+    img20[...] = 0.3
+    out20 = np.asarray(morphology.random_mask_redilation(
+        jax.random.key(1), jnp.asarray(img20), max_dilation=3, num_views=4
+    ))
+    mask_chs = {3, 4, 8, 9, 13, 14, 18, 19}
+    for ch in range(20):
+        if ch not in mask_chs:
+            np.testing.assert_array_equal(out20[..., ch], img20[..., ch])
+    # head-tail layouts (time channels only) are a no-op, not an error
+    img3 = np.ones((b, hw, hw, 3), np.float32) * 0.4
+    out3 = np.asarray(morphology.random_mask_redilation(
+        jax.random.key(1), jnp.asarray(img3), max_dilation=3
+    ))
+    np.testing.assert_array_equal(out3, img3)
