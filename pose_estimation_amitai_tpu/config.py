@@ -93,6 +93,7 @@ _ALIASES: dict[str, tuple[str, ...]] = {
     "nan_debug": ("nan_debug",),
     "host_resident_data": ("host_resident_data",),
     "device_dataset_budget_mb": ("device_dataset_budget_mb",),
+    "estimate_cameras": ("estimate_cameras", "estimate cameras"),
     "distributed": ("distributed",),
     "eval_decode": ("eval_decode",),
     "viz_every": ("viz_every",),
@@ -199,6 +200,11 @@ class Config:
     # auto-switch to HostDataset above this estimated dataset size
     device_dataset_budget_mb: int = 8192
     distributed: bool = False  # join a multi-host cluster (jax.distributed)
+    # disentangled camera models: estimate per-frame DLT cameras from the
+    # ground-truth peaks (tensorflow/Custom_data_generator.py:216-241)
+    # instead of decomposing the H5's calibrated cameras_dlt_array — for
+    # datasets whose calibration is absent or mistrusted
+    estimate_cameras: bool = False
     # val-L2 decoder: 'argmax' (reference parity) or 'refined' (sub-pixel)
     eval_decode: str = "argmax"
     # heavy PNG artifacts (histograms, overlays, curves) every N epochs;

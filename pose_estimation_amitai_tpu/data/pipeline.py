@@ -242,16 +242,21 @@ def _camera_matrix_arrays(
     """
     cams = jnp.asarray(pre.camera_matrices)  # (4, 3, 4)
     Ks, Rs, ts = jax.vmap(geometry.decompose_camera)(cams)
+    crop_size = int(pre.get_confmaps_orig().shape[2])
 
     def per_frame(cz):
-        return geometry.crop_adjusted_matrices(Ks, Rs, ts, cz)
+        return geometry.crop_adjusted_matrices(Ks, Rs, ts, cz,
+                                               crop_size=crop_size)
 
     P, P_inv = jax.vmap(per_frame)(jnp.asarray(pre.cropzone, jnp.float32))
     return np.asarray(P), np.asarray(P_inv)
 
 
 def estimate_cameras_from_peaks(
-    confmaps: np.ndarray, cropzone: np.ndarray, points_3d: np.ndarray
+    confmaps: np.ndarray,
+    cropzone: np.ndarray,
+    points_3d: np.ndarray,
+    crop_local: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Per-frame DLT camera estimation from decoded ground-truth peaks.
 
@@ -266,6 +271,14 @@ def estimate_cameras_from_peaks(
     Args:
       confmaps: (F, cams, H, W, K) raw maps whose channel order matches
         ``points_3d``; cropzone: (F, cams, 2); points_3d: (F, K, 3).
+      crop_local: fit the DLT to the CROP-LOCAL decoded peaks (the
+        reference's convention — ``tf_find_peaks`` output feeds the DLT
+        with no uncropping, tensorflow/Custom_data_generator.py:186-192),
+        in the flipped-y frame ``(x, H - y)`` that
+        :func:`..ops.geometry.crop_adjusted_matrices` produces — the crop
+        offset is absorbed into each frame's P, so the result is a drop-in
+        replacement for the calibrated cameras the FTL models consume.
+        Default fits full-sensor coordinates.
 
     Returns (F, cams, 3, 4) cameras and (F, cams, 4, 3) pseudo-inverses.
     """
@@ -282,12 +295,16 @@ def estimate_cameras_from_peaks(
 
     k = min(pts3d.shape[1], peaks2d.shape[2])
     h, w = confmaps.shape[2:4]
-    full = np.asarray(
-        jax.vmap(geometry.uncrop_points)(
-            jnp.asarray(peaks2d[:, :, :k], jnp.float32),
-            jnp.asarray(cropzone, jnp.float32),
-        )
-    )  # (F, cams, K, 2) full-sensor coords
+    if crop_local:
+        full = peaks2d[:, :, :k].astype(np.float32)
+        full = np.stack([full[..., 0], h - full[..., 1]], axis=-1)
+    else:
+        full = np.asarray(
+            jax.vmap(geometry.uncrop_points)(
+                jnp.asarray(peaks2d[:, :, :k], jnp.float32),
+                jnp.asarray(cropzone, jnp.float32),
+            )
+        )  # (F, cams, K, 2) full-sensor coords
 
     P = np.zeros((frames, ncams, 3, 4), np.float32)
     P_inv = np.zeros((frames, ncams, 4, 3), np.float32)
@@ -329,7 +346,23 @@ def build_dataset(
         # Disentangled path trains on per-wing samples with camera matrices
         # (pytorch/Datagenerators.py:67-84 uses box_orig/confmaps_orig).
         box, confmaps = _assemble_disentangled(pre)
-        P, P_inv = _camera_matrix_arrays(pre)
+        if cfg.estimate_cameras:
+            # per-frame DLT estimation from GT peaks (the TF
+            # CustomDataGenerator camera mode) instead of decomposing the
+            # calibrated cameras_dlt_array. confmaps_orig's wing blocks are
+            # cross-wired (right-index channels first — split_per_wing), so
+            # reorder the 3D points to match the channel order.
+            pts = pre.points_3d
+            order = np.concatenate(
+                [pre.right_inds, pre.left_inds,
+                 [pts.shape[1] - 2, pts.shape[1] - 1]]
+            )
+            P, P_inv = estimate_cameras_from_peaks(
+                pre.get_confmaps_orig(), pre.cropzone, pts[:, order],
+                crop_local=True,
+            )
+        else:
+            P, P_inv = _camera_matrix_arrays(pre)
         # two wing-samples per frame -> duplicate camera matrices
         P = np.concatenate([P, P], axis=0)
         P_inv = np.concatenate([P_inv, P_inv], axis=0)

@@ -234,22 +234,28 @@ def decompose_camera(P: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
 
 
 def crop_adjusted_matrices(
-    Ks: jax.Array, Rs: jax.Array, ts: jax.Array, cropzone: jax.Array
+    Ks: jax.Array,
+    Rs: jax.Array,
+    ts: jax.Array,
+    cropzone: jax.Array,
+    crop_size: int = 192,
 ) -> tuple[jax.Array, jax.Array]:
     """Per-crop camera matrices: shift each K's principal point by the crop.
 
     Reference: ``get_cropped_camera_matrices``
     (pytorch/Datagenerators.py:382-402): dx = x_crop,
     dy = SENSOR_HEIGHT + 1 - y_crop - crop_size; P' = K' [R|t], normalised by
-    Frobenius norm; plus pinv, likewise normalised.
+    Frobenius norm; plus pinv, likewise normalised. The resulting frame is
+    ``(x_local, crop_size - y_local)`` — crop-local with y flipped.
 
     Args:
       Ks: (4, 3, 3); Rs: (4, 3, 3); ts: (4, 3, 1); cropzone: (4, 2) [y, x].
+      crop_size: crop window height (the reference hard-codes 192; pass the
+        actual image size for non-192 datasets).
 
     Returns:
       (Ps (4, 3, 4), P_invs (4, 4, 3)).
     """
-    crop_size = 192
 
     def per_cam(K, R, t, cz):
         K = K / K[2, 2]

@@ -174,3 +174,40 @@ def test_build_dataset_auto_switches_to_host():
     ds, _ = build_dataset(cfg, arrays)
     assert type(ds) is HostDataset
     assert isinstance(ds.data["box"], np.ndarray)
+
+
+def test_estimate_cameras_config_knob():
+    """`estimate_cameras: 1` swaps the disentangled camera source from the
+    calibrated cameras_dlt_array to per-frame DLT estimation from GT peaks
+    (tensorflow/Custom_data_generator.py:216-241). The estimated cameras
+    must agree with the calibrated ones up to decode quantisation: both
+    project the 3D points to nearly the same full-sensor pixels."""
+    import jax.numpy as jnp
+
+    from pose_estimation_amitai_tpu import constants as C
+    from pose_estimation_amitai_tpu.config import Config
+    from pose_estimation_amitai_tpu.data.pipeline import build_dataset
+    from pose_estimation_amitai_tpu.ops import geometry
+
+    arrays = make_synthetic_arrays(num_frames=3, num_points=8, image_size=96,
+                                   seed=3)
+    base = dict(model_type=C.ALL_CAMS_DISENTANGLED_PER_WING_CNN,
+                val_fraction=0.5, seed=0)
+    ds_cal, pre = build_dataset(Config(**base),
+                                {k: v.copy() for k, v in arrays.items()})
+    ds_est, _ = build_dataset(Config(estimate_cameras=True, **base),
+                              {k: v.copy() for k, v in arrays.items()})
+    P_cal = np.asarray(ds_cal.data["P"])  # (2F, 4, 3, 4)
+    P_est = np.asarray(ds_est.data["P"])
+    assert P_est.shape == P_cal.shape
+    pts = jnp.asarray(pre.points_3d, jnp.float32)  # (F, K, 3)
+    F = pts.shape[0]
+    errs = []
+    for s in range(P_cal.shape[0]):
+        f = s % F
+        for c in range(4):
+            a = np.asarray(geometry.reproject(jnp.asarray(P_cal[s, c]), pts[f]))
+            b = np.asarray(geometry.reproject(jnp.asarray(P_est[s, c]), pts[f]))
+            errs.append(np.linalg.norm(a - b, axis=-1))
+    med = np.median(np.concatenate(errs))
+    assert med < 3.0, med
