@@ -7,92 +7,149 @@ reference's inference-as-practiced path (model.predict + tf_find_peaks,
 reference: tensorflow/preprocessor.py:657-689) as one jitted device-resident
 program.
 
-Measured paths (the faster wins):
-* int8-resident (models/quantized.py make_quantized_resident_forward —
-  activations *stored* int8 between layers; the profiled bottleneck is HBM,
-  so halving activation traffic beats the MXU-rate argument; peak parity
-  verified in tests/test_quantized.py)
-* calibrated int8 with bf16 activations (v5e MXU runs int8 at 2x bf16)
-* bf16 XLA forward (flax convs)
+Design constraints (learned the hard way in round 2, BENCH_r02.json rc=124):
+the driver runs ``python bench.py`` under an unknown timeout, so this script
+has ONE global wall-clock deadline and prints its single headline JSON line
+as soon as the known-best path (int8-resident serving) has a number.  A
+watchdog thread force-emits whatever number exists if the deadline hits
+mid-compile.  Optional refinements (marginal-rate pair, train-step metric)
+run only with time to spare; they can improve the output but never delay or
+sink it.
+
+Measured path: int8-resident serving (models/quantized.py
+make_quantized_resident_forward — activations *stored* int8 between layers;
+the profiled bottleneck is HBM, so halving activation traffic beats the MXU
+rate argument; peak parity verified in tests/test_quantized.py).  Calibration
+scales are deterministic for the bench seed and pre-baked in
+``bench_scales.npz`` so the driver run skips the calibration compile; the
+fallback recomputes them.
 
 Methodology: the whole movie loop runs as ONE jitted ``lax.scan`` over K
 batches (per-dispatch overhead through remote-attached runtimes can reach
-tens of ms) and throughput is the MARGINAL rate between two K values, which
-cancels fixed dispatch/fetch overhead. Host fetches are forced with
-``np.asarray`` — ``block_until_ready`` can return early on remote backends.
+tens of ms).  The first number is the conservative whole-run rate at K_LARGE
+(dispatch overhead dilutes to <1%).  With budget left, the rate is refined to
+the MARGINAL rate between two K values, which cancels the fixed overhead
+exactly.  Host fetches are forced with ``np.asarray``.
 
-A second, driver-visible metric: full train-step throughput (gather ->
-on-device augmentation -> fwd -> bwd -> Adam, the whole jitted program) in
-frames/sec/chip, measured with the same single-dispatch ``lax.scan`` +
-marginal-rate methodology at batch 256 with full augmentation (the
-self-reported round-1 number this makes reproducible).
+Prints ONE JSON line:
+  {"metric", "value", "unit", "vs_baseline"[, "train_step_throughput"]}
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
-"train_step_throughput": {"value", "unit"}}.
-
-``--train`` / ``--infer`` run just one side (default: both).
+Flags: ``--train`` (train-step bench only), ``--infer`` (skip train metric),
+``--no-deadline`` (disable the watchdog, for offline runs).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
+import threading
 import time
 
 import numpy as np
 
+T0 = time.perf_counter()
+
 import jax
 import jax.numpy as jnp
 
-# persistent compile cache: repeat bench runs skip the multi-minute
-# train-step compile (same cache the test suite uses)
+# persistent compile cache: repeat bench runs skip cold compiles (same cache
+# the test suite uses); the driver's end-of-round run rides whatever this
+# round's own bench invocations left warm.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
 BASELINE_FPS = 5000.0
 B = 1024
 K_SMALL, K_LARGE = 4, 20
 TRAIN_B = 256
-TRAIN_K_SMALL, TRAIN_K_LARGE = 2, 8
+TRAIN_K = 8
+
+# Global deadline (seconds from process start).  The driver's window is
+# unknown; round 1 finished fine and round 2 was killed, so stay well inside
+# the smallest plausible window while leaving room for one cold scan compile.
+# The TPU *claim* itself can stall for minutes if a previous process died
+# uncleanly (remote grant not yet released), so the watchdog extends the
+# deadline while the claim is pending, up to an absolute cap.
+HARD_DEADLINE_S = 330.0
+POST_CLAIM_S = 200.0       # budget from the moment the device answers
+ABS_MAX_S = 550.0          # never run longer than this, claim or no claim
+# Refinement / extras only start if elapsed is below these.
+REFINE_BUDGET_S = 200.0
+TRAIN_BUDGET_S = 110.0
+
+_STATE: dict = {"out": None, "device_ready": None}
+_EMIT_LOCK = threading.Lock()
+SCALES_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_scales.npz")
 
 
-def _marginal_fps(make_run, budget_s=420.0):
-    """fps from the marginal time between K_SMALL and K_LARGE scan lengths."""
-    t_start = time.perf_counter()
-    r_small, r_large = make_run(K_SMALL), make_run(K_LARGE)
-    np.asarray(r_small())  # compile + warm
-    np.asarray(r_large())
+def _elapsed() -> float:
+    return time.perf_counter() - T0
 
-    def timed(fn):
-        t0 = time.perf_counter()
-        np.asarray(fn())
-        return time.perf_counter() - t0
 
-    t_s, t_l = timed(r_small), timed(r_large)
-    for _ in range(2):
-        if time.perf_counter() - t_start > budget_s:
-            break
-        t_s = min(t_s, timed(r_small))
-        t_l = min(t_l, timed(r_large))
-    dt = t_l - t_s
-    if dt <= 1e-6:
-        # timing noise ate the marginal (preempted host / jittery relay):
-        # fall back to the conservative whole-run rate instead of printing
-        # an absurd 1e13 fps headline
-        print(
-            f"[bench] marginal time degenerate (t_s={t_s:.3f}, "
-            f"t_l={t_l:.3f}); using whole-run rate", file=sys.stderr,
-        )
-        return K_LARGE * B / t_l
-    return (K_LARGE - K_SMALL) * B / dt
+def _log(msg: str) -> None:
+    print(f"[bench +{_elapsed():.0f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def _emit(hard_exit: bool, code: int = 0) -> None:
+    """Print the headline JSON (once).
+
+    ``hard_exit`` (watchdog path, main thread stuck in a compile) kills the
+    process outright.  The success path instead returns and lets the
+    interpreter exit normally: the PJRT client then tears down its device
+    claim promptly — an ``os._exit`` here leaves the remote grant held and
+    can wedge the NEXT claimant (observed: minutes-long first-op hangs after
+    unclean exits; the likely cause of round 2's bench timeout).
+    """
+    with _EMIT_LOCK:
+        out = _STATE["out"]
+        if out is not None:
+            print(json.dumps(out), flush=True)
+            _STATE["out"] = None  # never print twice
+        else:
+            code = max(code, 7)
+        sys.stdout.flush()
+        sys.stderr.flush()
+        if hard_exit:
+            os._exit(code)
+
+
+def _start_watchdog() -> None:
+    def watch():
+        while True:
+            e = _elapsed()
+            ready = _STATE["device_ready"]
+            if ready is None:
+                deadline = ABS_MAX_S  # claim pending: wait it out
+            else:
+                deadline = min(max(HARD_DEADLINE_S, ready + POST_CLAIM_S),
+                               ABS_MAX_S)
+            if e >= deadline:
+                break
+            time.sleep(1.0)
+        _log("hard deadline reached — emitting best-so-far")
+        _emit(hard_exit=True)
+
+    t = threading.Thread(target=watch, daemon=True)
+    t.start()
+
+
+def _set_headline(fps: float, extra: dict | None = None) -> None:
+    out = {
+        "metric": "heatmap_inference_throughput",
+        "value": round(fps, 1),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }
+    if extra:
+        out.update(extra)
+    _STATE["out"] = out
 
 
 def bench_train() -> float:
     """Train-step frames/sec/chip: flagship model, batch 256, 192px, full
     on-device augmentation (rotation +-15 deg, shifts, flips), MSE loss,
-    one Adam update per step. K steps chain inside ONE jitted lax.scan;
-    at K=8 the program runs ~2 s so per-dispatch overhead (<50 ms) is noise
-    and direct timing suffices — ONE compile, unlike the inference paths'
-    marginal-rate pairs (the train step is the expensive compile here)."""
+    one Adam update per step.  K steps chain inside ONE jitted lax.scan."""
     from pose_estimation_amitai_tpu.config import Config
     from pose_estimation_amitai_tpu.models import build_model
     from pose_estimation_amitai_tpu.train.loop import (
@@ -117,9 +174,8 @@ def bench_train() -> float:
     state = create_train_state(model, cfg, sample)
     train_step = make_train_step(model, cfg)
 
-    K = TRAIN_K_LARGE
     idx_all = jnp.asarray(
-        rng.integers(0, n_data, (K, 1, TRAIN_B)).astype(np.int32)
+        rng.integers(0, n_data, (TRAIN_K, 1, TRAIN_B)).astype(np.int32)
     )
 
     @jax.jit
@@ -133,8 +189,7 @@ def bench_train() -> float:
 
     t0 = time.perf_counter()
     np.asarray(run(state, data, idx_all))  # compile + warm
-    print(f"[bench] train-step compile+warm {time.perf_counter() - t0:.0f}s",
-          file=sys.stderr, flush=True)
+    _log(f"train-step compile+warm {time.perf_counter() - t0:.0f}s")
 
     def timed():
         t0 = time.perf_counter()
@@ -142,18 +197,14 @@ def bench_train() -> float:
         return time.perf_counter() - t0
 
     t = min(timed() for _ in range(3))
-    return K * TRAIN_B / t
+    return TRAIN_K * TRAIN_B / t
 
 
-def main() -> None:
+def _build_serving():
+    """Model, params, calibration scales, input batch for the serving bench."""
     from pose_estimation_amitai_tpu.config import Config
     from pose_estimation_amitai_tpu.models import build_model
-    from pose_estimation_amitai_tpu.models.quantized import (
-        calibrate,
-        make_quantized_forward,
-        make_quantized_resident_forward,
-    )
-    from pose_estimation_amitai_tpu.ops import peaks
+    from pose_estimation_amitai_tpu.models.quantized import calibrate
 
     hw, in_ch, out_ch = 192, 4, 18
     cfg = Config()
@@ -171,84 +222,135 @@ def main() -> None:
         rng.random((B, hw, hw, in_ch), np.float32), jnp.bfloat16
     )
 
-    def scan_runner(forward):
-        def make(K):
-            @jax.jit
-            def run(params, base):
-                def body(c, i):
-                    frames = base * (1.0 + i.astype(jnp.bfloat16) * 1e-3)
-                    return c, peaks.find_peaks_with_vals(forward(frames))
-
-                _, out = jax.lax.scan(body, 0, jnp.arange(K))
-                return out
-
-            return lambda: run(params, base)
-
-        return make
-
-    def xla_forward(frames):
-        return model.apply({"params": params}, frames, train=False)
-
-    results = {}
     scales = None
-    try:
+    if os.path.exists(SCALES_FILE):
+        try:
+            with np.load(SCALES_FILE) as z:
+                scales = {k: float(z[k]) for k in z.files}
+            _log(f"loaded {len(scales)} pre-baked calibration scales")
+        except Exception as e:
+            _log(f"scales file unreadable ({e!r}); recalibrating")
+            scales = None
+    if scales is None:
         scales = calibrate(
             params, rng.random((8, hw, hw, in_ch)).astype(np.float32),
             batch=4,
         )
-        qr = make_quantized_resident_forward(
-            model, params, scales, out_dtype=jnp.bfloat16
-        )
-        results["int8_resident"] = _marginal_fps(
-            scan_runner(lambda f: qr(f))
-        )
-    except Exception as e:
-        print(f"[bench] int8_resident path failed: {e!r}", file=sys.stderr)
-    try:
-        if scales is not None:
-            qf = make_quantized_forward(
-                model, params, scales, out_dtype=jnp.bfloat16
-            )
-            results["int8"] = _marginal_fps(scan_runner(lambda f: qf(f)))
-    except Exception as e:
-        print(f"[bench] int8 path failed: {e!r}", file=sys.stderr)
-    try:
-        if not results:
-            results["bf16"] = _marginal_fps(scan_runner(xla_forward))
-    except Exception as e:
-        print(f"[bench] bf16 path failed: {e!r}", file=sys.stderr)
-        if not results:
-            raise
-
-    fps = max(results.values())
-    out = {
-        "metric": "heatmap_inference_throughput",
-        "value": round(fps, 1),
-        "unit": "frames/sec/chip",
-        "vs_baseline": round(fps / BASELINE_FPS, 3),
-    }
-    if "--infer" not in sys.argv:
         try:
-            out["train_step_throughput"] = {
-                "value": round(bench_train(), 1),
-                "unit": "frames/sec/chip",
-            }
-        except Exception as e:  # train bench must never sink the headline
-            out["train_step_throughput"] = {"error": repr(e)[:200]}
-    print(json.dumps(out))
+            np.savez(SCALES_FILE, **{k: np.float64(v)
+                                     for k, v in scales.items()})
+            _log(f"calibrated + saved {len(scales)} scales")
+        except Exception:
+            pass
+    return model, params, scales, base
+
+
+def _scan_runner(forward, params, base):
+    from pose_estimation_amitai_tpu.ops import peaks
+
+    def make(K):
+        @jax.jit
+        def run(params, base):
+            def body(c, i):
+                frames = base * (1.0 + i.astype(jnp.bfloat16) * 1e-3)
+                return c, peaks.find_peaks_with_vals(forward(frames))
+
+            _, out = jax.lax.scan(body, 0, jnp.arange(K))
+            return out
+
+        return lambda: run(params, base)
+
+    return make
+
+
+def main() -> None:
+    from pose_estimation_amitai_tpu.models.quantized import (
+        make_quantized_resident_forward,
+    )
+
+    # claim the device with a trivial op first: marks device_ready for the
+    # watchdog and isolates claim-stall time from compile budgets
+    t0 = time.perf_counter()
+    np.asarray(jnp.zeros(()) + 1.0)
+    _STATE["device_ready"] = _elapsed()
+    _log(f"device claimed in {time.perf_counter() - t0:.1f}s")
+
+    model, params, scales, base = _build_serving()
+    qr = make_quantized_resident_forward(
+        model, params, scales, out_dtype=jnp.bfloat16
+    )
+    make = _scan_runner(lambda f: qr(f), params, base)
+
+    # --- first number: whole-run rate at K_LARGE (one compile) -------------
+    run_large = make(K_LARGE)
+    t0 = time.perf_counter()
+    np.asarray(run_large())  # compile + warm
+    _log(f"int8-resident K={K_LARGE} compile+warm {time.perf_counter()-t0:.0f}s")
+
+    def timed(fn):
+        t0 = time.perf_counter()
+        np.asarray(fn())
+        return time.perf_counter() - t0
+
+    t_l = min(timed(run_large) for _ in range(3))
+    fps = K_LARGE * B / t_l
+    _set_headline(fps)
+    _log(f"whole-run rate {fps:.0f} fps (t={t_l:.3f}s)")
+
+    # --- refinement: marginal rate between K_SMALL and K_LARGE -------------
+    if _elapsed() < REFINE_BUDGET_S:
+        try:
+            run_small = make(K_SMALL)
+            np.asarray(run_small())  # compile + warm
+            t_s = min(timed(run_small) for _ in range(3))
+            t_l = min(t_l, min(timed(run_large) for _ in range(2)))
+            dt = t_l - t_s
+            if dt > 1e-6:
+                m_fps = (K_LARGE - K_SMALL) * B / dt
+                # marginal must be sane (dispatch overhead only *adds* time,
+                # so marginal >= whole-run; cap runaway noise at +20%)
+                if fps <= m_fps <= fps * 1.2:
+                    fps = m_fps
+                    _set_headline(fps)
+                    _log(f"marginal rate {fps:.0f} fps")
+                else:
+                    _log(f"marginal {m_fps:.0f} fps out of trust band; "
+                         f"keeping whole-run rate")
+            else:
+                _log("marginal degenerate; keeping whole-run rate")
+        except Exception as e:
+            _log(f"refinement failed: {e!r}")
+    else:
+        _log("skipping marginal refinement (budget)")
+
+    # --- optional second metric: train-step throughput ---------------------
+    if "--infer" not in sys.argv and _elapsed() < TRAIN_BUDGET_S:
+        try:
+            tr = bench_train()
+            _set_headline(fps, {
+                "train_step_throughput": {
+                    "value": round(tr, 1), "unit": "frames/sec/chip",
+                }
+            })
+            _log(f"train-step {tr:.0f} fps")
+        except Exception as e:
+            _log(f"train bench failed (headline unaffected): {e!r}")
+    elif "--infer" not in sys.argv:
+        _log("skipping train-step metric (budget)")
+
+    _emit(hard_exit=False)
 
 
 if __name__ == "__main__":
+    if "--no-deadline" not in sys.argv:
+        _start_watchdog()
     if "--train" in sys.argv:
         fps = bench_train()
-        print(
-            json.dumps(
-                {
-                    "metric": "train_step_throughput",
-                    "value": round(fps, 1),
-                    "unit": "frames/sec/chip",
-                }
-            )
-        )
+        _STATE["out"] = {
+            "metric": "train_step_throughput",
+            "value": round(fps, 1),
+            "unit": "frames/sec/chip",
+        }
+        _emit(hard_exit=False)
     else:
         main()
