@@ -108,6 +108,9 @@ class Preprocessor:
         self.cropzone = np.asarray(arrays["cropZone"])
         self.camera_matrices = np.asarray(arrays["cameras_dlt_array"], np.float32)
         self._points_3d_raw = np.asarray(arrays["points_3D"], np.float32)
+        # movie-pair files: cropzone/points_3D are not movie-resolved — see
+        # _check_not_pair_file
+        self._pair_file = self.box.ndim == 6
 
         if self.debug_mode:
             # truncate to 10 frames (pytorch/preprocessor.py:42-51); 6-D
@@ -341,13 +344,30 @@ class Preprocessor:
     def get_confmaps_orig(self) -> np.ndarray | None:
         return self.confmaps_orig
 
+    def _check_not_pair_file(self, what: str) -> None:
+        """6-D movie-pair files only define box/confmaps per (movie, frame);
+        cropzone/points_3D are not movie-resolved (and debug truncation
+        slices them on a different axis than the flattened frames), so any
+        camera/3D consumption of a pair file would silently use misaligned
+        offsets. Only the per-wing paths — which never consume these —
+        accept 6-D input; hard-fail everywhere else."""
+        if self._pair_file:
+            raise ValueError(
+                f"{what} is not frame-aligned for 6-D movie-pair datasets; "
+                "pair files are only supported on paths that do not consume "
+                "cropzone/points_3D"
+            )
+
     def get_cropzone(self) -> np.ndarray:
+        self._check_not_pair_file("cropzone")
         return self.cropzone
 
     def get_cropzone_per_wing(self) -> np.ndarray:
+        self._check_not_pair_file("cropzone_per_wing")
         return self.cropzone_per_wing
 
     def get_points_3D_per_wing(self) -> np.ndarray:
+        self._check_not_pair_file("points_3D_per_wing")
         return self.points_3d_per_wing
 
     def get_num_frames(self) -> int:

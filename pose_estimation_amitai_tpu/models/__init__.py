@@ -87,6 +87,22 @@ def layout_views(model_type: str) -> int:
     return 1
 
 
+def layout_masks_per_view(model_type: str) -> int | None:
+    """Wing-mask channels in each view block, or ``None`` to let
+    ops/morphology.random_mask_redilation infer them from channel
+    arithmetic.
+
+    ``BODY_PART_MODEL`` samples carry 3 body-part masks after the time
+    channels (data/preprocess.reshape_to_body_parts) — a channel width the
+    reference's dilation table never handles (it asserts on unknown widths,
+    tensorflow/simple_data_generator.py:104-111), so those masks must never
+    be re-dilated: return 0.
+    """
+    if model_type == C.BODY_PARTS_MODEL:
+        return 0
+    return None
+
+
 def _vit_arch_kwargs(cfg: Config, num_output_channels: int) -> dict[str, Any]:
     """Shared ViT architecture kwargs (single-view + 4-cam families).
 

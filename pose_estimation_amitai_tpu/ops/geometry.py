@@ -272,7 +272,8 @@ def crop_adjusted_matrices(
 
 
 def compose_affine_into_cameras(
-    mats: jax.Array, P: jax.Array, P_inv: jax.Array
+    mats: jax.Array, P: jax.Array, P_inv: jax.Array,
+    crop_size: int = 192,
 ) -> tuple[jax.Array, jax.Array]:
     """Fold 2D image-space affines into camera matrices: P' = F @ M @ F @ P.
 
@@ -285,11 +286,13 @@ def compose_affine_into_cameras(
     lets us augment WITH consistent geometry instead of not at all).
 
     Convention: the crop-adjusted cameras (:func:`crop_adjusted_matrices`)
-    project to (x, v) with image ROW = 192 - v — the ``uncrop`` y-flip
+    project to (x, v) with image ROW = crop_size - v — the ``uncrop`` y-flip
     (pytorch/Datagenerators.py:416-424) baked into the dy shift; verified:
-    v = y_full - dy = 192 - row independent of sensor size and crop. The
-    warp M acts on (x, row), so the composition conjugates by the
-    self-inverse flip F = [[1,0,0],[0,-1,192],[0,0,1]]: P' = (F M F) P.
+    v = y_full - dy = crop_size - row independent of sensor size and crop.
+    The warp M acts on (x, row), so the composition conjugates by the
+    self-inverse flip F = [[1,0,0],[0,-1,crop_size],[0,0,1]]: P' = (F M F) P.
+    ``crop_size`` must match the one given to :func:`crop_adjusted_matrices`
+    (the reference hard-codes 192).
     Plain M @ P would encode a rotation of -theta in the camera's
     convention — per-sample camera/target inconsistency.
 
@@ -308,7 +311,8 @@ def compose_affine_into_cameras(
       (P', P_inv') with the same shapes.
     """
     flip = jnp.array(
-        [[1.0, 0.0, 0.0], [0.0, -1.0, 192.0], [0.0, 0.0, 1.0]], jnp.float32
+        [[1.0, 0.0, 0.0], [0.0, -1.0, float(crop_size)], [0.0, 0.0, 1.0]],
+        jnp.float32,
     )
     mats = flip @ mats.astype(jnp.float32) @ flip
     new_P = mats @ P.astype(jnp.float32)

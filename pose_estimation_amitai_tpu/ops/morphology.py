@@ -157,6 +157,7 @@ def random_mask_redilation(
     max_dilation: int,
     num_views: int = 1,
     num_time_channels: int = 3,
+    masks_per_view: int | None = None,
 ) -> jax.Array:
     """Randomly re-dilate the wing-mask channels per sample (jit-safe).
 
@@ -186,8 +187,15 @@ def random_mask_redilation(
     # masks per view block = channels beyond the time channels: 1 for
     # per-wing layouts (T+1), 2 for all-points layouts (T+2) — generalises
     # the reference's table (4 -> [-1], 5 -> [-2,-1], 16 -> every 4th) to
-    # every view count and to single_time_channel inputs
-    masks_per_view = max(0, min(cpv - int(num_time_channels), 2))
+    # every view count and to single_time_channel inputs. Callers whose
+    # extra channels are NOT wing masks (e.g. BODY_PART_MODEL's 3 part
+    # masks — a width the reference's table asserts on, never dilates)
+    # must pass masks_per_view=0 explicitly; channel arithmetic cannot
+    # tell those layouts apart.
+    if masks_per_view is None:
+        masks_per_view = max(0, min(cpv - int(num_time_channels), 2))
+    else:
+        masks_per_view = min(int(masks_per_view), cpv)
     if masks_per_view == 0:
         return images
     mask_inds = [

@@ -113,7 +113,7 @@ def make_sharded_train_step(model, cfg: Config, mesh: Mesh):
             # (tensorflow/simple_data_generator.py:84-87, 99-117);
             # mask channels follow the CHANNEL layout (4 per multicam
             # view), not the augmentation-transform count
-            from ..models import layout_views
+            from ..models import layout_masks_per_view, layout_views
             from ..ops.morphology import random_mask_redilation
 
             key, dkey = jax.random.split(key)
@@ -121,13 +121,15 @@ def make_sharded_train_step(model, cfg: Config, mesh: Mesh):
                 dkey, box, cfg.wings_masks_dilation,
                 num_views=layout_views(cfg.model_type),
                 num_time_channels=1 if cfg.single_time_channel else 3,
+                masks_per_view=layout_masks_per_view(cfg.model_type),
             )
         mb = dict(mb, image=box, confmaps=confmaps)
         if view_mats is not None and "P" in mb:
             from ..ops import geometry
 
             mb["P"], mb["P_inv"] = geometry.compose_affine_into_cameras(
-                view_mats, mb["P"], mb["P_inv"]
+                view_mats, mb["P"], mb["P_inv"],
+                crop_size=box.shape[-3],
             )
         if batch_stats:
             # Cross-replica BatchNorm comes for free under GSPMD: the batch

@@ -221,7 +221,7 @@ def make_train_step(model, cfg: Config):
             # (tensorflow/simple_data_generator.py:84-87, 99-117);
             # mask channels follow the CHANNEL layout (4 per multicam
             # view), not the augmentation-transform count
-            from ..models import layout_views
+            from ..models import layout_masks_per_view, layout_views
             from ..ops.morphology import random_mask_redilation
 
             key, dkey = jax.random.split(key)
@@ -229,6 +229,7 @@ def make_train_step(model, cfg: Config):
                 dkey, box, cfg.wings_masks_dilation,
                 num_views=layout_views(cfg.model_type),
                 num_time_channels=1 if cfg.single_time_channel else 3,
+                masks_per_view=layout_masks_per_view(cfg.model_type),
             )
         batch = {"image": box, "confmaps": confmaps}
         for k in ("P", "P_inv"):
@@ -240,7 +241,8 @@ def make_train_step(model, cfg: Config):
             from ..ops import geometry
 
             batch["P"], batch["P_inv"] = geometry.compose_affine_into_cameras(
-                view_mats, batch["P"], batch["P_inv"]
+                view_mats, batch["P"], batch["P_inv"],
+                crop_size=box.shape[-3],
             )
 
         def compute_loss(p):

@@ -107,14 +107,17 @@ def test_augment_pair_views_split(rng):
     assert np.abs(ai[..., :2] - ai[..., 2:4]).max() > 0.05
 
 
-def test_compose_affine_into_cameras_reprojection():
+@pytest.mark.parametrize("crop_size", [192, 96])
+def test_compose_affine_into_cameras_reprojection(crop_size):
     """Folding the image warp into P must keep FTL geometry exact IN THE
     PIPELINE'S OWN CONVENTION: the crop-adjusted cameras project to (x, v)
-    with image row = 192 - v (the uncrop y-flip baked into the dy shift),
-    so the folded camera's projection must land on the warped (x, row)
-    pixel after the same flip. Uses real cameras from the synthetic H5
-    contract, not random flip-free P (which cannot catch a convention
-    error)."""
+    with image row = crop_size - v (the uncrop y-flip baked into the dy
+    shift), so the folded camera's projection must land on the warped
+    (x, row) pixel after the same flip. Uses real cameras from the
+    synthetic H5 contract, not random flip-free P (which cannot catch a
+    convention error). Parametrized over crop_size: the flip the
+    composition conjugates by must track the dataset's crop window, not
+    the reference's hard-coded 192 (round-2 ADVICE, ops/geometry.py)."""
     from pose_estimation_amitai_tpu.data.synthetic import make_synthetic_arrays
 
     arrays = make_synthetic_arrays(num_frames=2, num_points=8, image_size=96,
@@ -123,7 +126,9 @@ def test_compose_affine_into_cameras_reprojection():
     Ks, Rs, ts = jax.vmap(geometry.decompose_camera)(cams)
     cz = jnp.asarray(arrays["cropZone"], jnp.float32)  # (F, 4, 2)
     P, P_inv = jax.vmap(
-        lambda c: geometry.crop_adjusted_matrices(Ks, Rs, ts, c)
+        lambda c: geometry.crop_adjusted_matrices(
+            Ks, Rs, ts, c, crop_size=crop_size
+        )
     )(cz)
     P, P_inv = np.asarray(P), np.asarray(P_inv)  # (F, 4, 3, 4)/(F, 4, 4, 3)
 
@@ -131,17 +136,20 @@ def test_compose_affine_into_cameras_reprojection():
         jax.random.key(2), 8, rotation_range=30.0, xy_shifts=6.0,
         zoom_range=(0.8, 1.2),
     )
-    mats = affine.make_affine_matrix(params, 192, 192).reshape(2, 4, 3, 3)
+    mats = affine.make_affine_matrix(
+        params, crop_size, crop_size
+    ).reshape(2, 4, 3, 3)
 
     newP, newPinv = geometry.compose_affine_into_cameras(
-        jnp.asarray(mats), jnp.asarray(P), jnp.asarray(P_inv)
+        jnp.asarray(mats), jnp.asarray(P), jnp.asarray(P_inv),
+        crop_size=crop_size,
     )
     newP, newPinv = np.asarray(newP), np.asarray(newPinv)
 
     def to_rows(proj_h):
         """(N, 3) homogeneous camera output -> (N, 2) [x, row] pixels."""
         xy = proj_h[:, :2] / proj_h[:, 2:3]
-        return np.stack([xy[:, 0], 192.0 - xy[:, 1]], axis=1)
+        return np.stack([xy[:, 0], float(crop_size) - xy[:, 1]], axis=1)
 
     pts3d = np.asarray(arrays["points_3D"], np.float32)  # (F, K, 3)
     for f in range(2):

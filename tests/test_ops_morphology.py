@@ -103,3 +103,30 @@ def test_redilation_hits_every_camera_mask_channel():
     # p=0.5 at least one sample dilates => masks beyond [15] change
     assert set(changed) <= {3, 7, 11, 15}
     assert len(changed) == 4, changed
+
+
+def test_redilation_skips_body_part_masks():
+    """BODY_PART_MODEL samples (3 time + 3 part-mask channels) must never
+    be re-dilated: the reference's dilation table has no 6-channel row (it
+    asserts on unknown widths, tensorflow/simple_data_generator.py:104-111)
+    and the extra channels are body parts, not wings. layout_masks_per_view
+    pins them to 0 and random_mask_redilation honours the override
+    (round-2 ADVICE, ops/morphology.py)."""
+    import jax
+
+    from pose_estimation_amitai_tpu import constants as C
+    from pose_estimation_amitai_tpu.models import layout_masks_per_view
+    from pose_estimation_amitai_tpu.ops.morphology import (
+        random_mask_redilation,
+    )
+
+    assert layout_masks_per_view(C.BODY_PARTS_MODEL) == 0
+    assert layout_masks_per_view(C.MODEL_18_POINTS_PER_WING) is None
+
+    box = np.zeros((4, 32, 32, 6), np.float32)
+    box[:, 15:17, 15:17, 3:] = 1.0  # seed "part mask" channels
+    out = np.asarray(random_mask_redilation(
+        jax.random.key(3), jnp.asarray(box), 4, num_views=1,
+        masks_per_view=layout_masks_per_view(C.BODY_PARTS_MODEL),
+    ))
+    np.testing.assert_array_equal(out, box)

@@ -311,3 +311,23 @@ def test_per_wing_movie_pair_and_debug_truncation(arrays):
     p = _pre(paired, C.PER_WING_MODEL, debug_mode=True)
     # 5 frames/movie < 10-frame cap: nothing lost, pair axis intact
     assert p.get_box().shape == (2 * 2 * 5 * 4, 48, 48, 4)
+
+
+def test_pair_file_camera_getters_refuse(arrays):
+    """6-D movie-pair files only define box/confmaps per (movie, frame);
+    cropzone/points_3D are not movie-resolved, so camera/3D consumption of
+    a pair file must hard-fail instead of silently using misaligned
+    offsets (round-2 ADVICE, data/preprocess.py debug truncation)."""
+    paired = dict(arrays)
+    paired["box"] = np.stack([arrays["box"], arrays["box"][::-1]])
+    paired["confmaps"] = np.stack(
+        [arrays["confmaps"], arrays["confmaps"][::-1]]
+    )
+    p = _pre(paired, C.PER_WING_MODEL)
+    for getter in (p.get_cropzone, p.get_cropzone_per_wing,
+                   p.get_points_3D_per_wing):
+        with pytest.raises(ValueError, match="movie-pair"):
+            getter()
+    # non-pair datasets keep working
+    q = _pre(arrays, C.PER_WING_MODEL)
+    assert q.get_cropzone().shape[0] == arrays["box"].shape[0]
