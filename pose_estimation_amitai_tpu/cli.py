@@ -102,6 +102,7 @@ def _preprocessed(args):
         calibration_frames=box[:32] if use_q else None,
         cameras=cameras,
         quantized_layers=getattr(args, "quantized_layers", None),
+        import_reference=bool(getattr(args, "import_reference", False)),
     )
     return cfg, pre, box, confmaps, predictor
 
@@ -140,7 +141,18 @@ def cmd_infer(args) -> int:
         )
     dest = args.out or "predictions.npz"
     np.savez(dest, **out)
-    print(f"wrote {dest}: " + ", ".join(
+    written = [dest]
+    if getattr(args, "mat", False):
+        # MATLAB-dialect artifact for the lab's downstream tooling — the
+        # reference ecosystem's native format (history.mat via savemat,
+        # tensorflow/CallBacks.py:26-27; the H5 datasets themselves are
+        # MATLAB column-major exports)
+        from scipy.io import savemat
+
+        mat_dest = os.path.splitext(dest)[0] + ".mat"
+        savemat(mat_dest, {k: np.asarray(v) for k, v in out.items()})
+        written.append(mat_dest)
+    print("wrote " + " + ".join(written) + ": " + ", ".join(
         f"{k} {v.shape}" for k, v in out.items()
     ))
     return 0
@@ -198,6 +210,26 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_import(args) -> int:
+    """Convert a reference checkpoint to the rebuild's native msgpack
+    weights snapshot (loadable by Predictor.from_checkpoint / the trainer's
+    ``resume_from``-style param restores)."""
+    from flax import serialization
+
+    from .importers import import_reference_checkpoint
+
+    imported = import_reference_checkpoint(args.checkpoint)
+    with open(args.out, "wb") as f:
+        f.write(serialization.to_bytes(imported.params))
+    print(json.dumps({
+        "written": args.out,
+        "model_kind": imported.model_kind,
+        "arch_flavor": imported.arch_flavor,
+        "arch_kwargs": imported.arch_kwargs,
+    }))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="pose_estimation_amitai_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -238,6 +270,20 @@ def main(argv: list[str] | None = None) -> int:
                  "mode (int8 conv decoder, bf16 transformer trunk — "
                  "DESIGN.md serving findings)",
         )
+        s.add_argument(
+            "--import-reference", action="store_true",
+            help="treat <checkpoint> as a REFERENCE checkpoint (keras .h5 / "
+                 "torch checkpoint.pth / TorchScript best_model.pth) and "
+                 "convert it on the fly (auto-detected even without this "
+                 "flag; see pose_estimation_amitai_tpu/importers.py)",
+        )
+        if name == "infer":
+            s.add_argument(
+                "--mat", action="store_true",
+                help="also write a MATLAB .mat next to the .npz "
+                     "(points_2d/points_3d via scipy.io.savemat) for the "
+                     "lab's downstream tooling",
+            )
         s.set_defaults(fn=fn)
 
     e = sub.add_parser(
@@ -263,6 +309,15 @@ def main(argv: list[str] | None = None) -> int:
                    default=(192, 192, 4), metavar=("H", "W", "C"))
     e.add_argument("--out-channels", type=int, default=18)
     e.set_defaults(fn=cmd_export)
+
+    imp = sub.add_parser(
+        "import",
+        help="convert a reference checkpoint (keras .h5 / torch .pth) to a "
+             "native msgpack weights snapshot",
+    )
+    imp.add_argument("checkpoint", help="reference checkpoint file")
+    imp.add_argument("out", help="output .msgpack path")
+    imp.set_defaults(fn=cmd_import)
 
     args = p.parse_args(argv)
     return args.fn(args)

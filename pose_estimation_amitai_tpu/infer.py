@@ -61,6 +61,7 @@ class Predictor:
         batch_stats=None,
         cameras=None,
         quantized_layers: str | None = None,
+        model=None,
     ):
         """``decode``: 'argmax' (tf_find_peaks parity), 'soft' — the
         differentiable soft-argmax decoder (pytorch/utils.py:47-83) — or
@@ -87,7 +88,12 @@ class Predictor:
         from .models import needs_camera_matrices
 
         self.cfg = cfg
-        self.model = build_model(cfg, image_shape, num_output_channels)
+        # ``model``: explicit module override — used by the reference-
+        # checkpoint import path, whose architecture comes from the
+        # checkpoint's own weight shapes rather than the config
+        self.model = model if model is not None else build_model(
+            cfg, image_shape, num_output_channels
+        )
         # ViT-family peaks-only serving: the decoder's per-sample min-max
         # normalisation is strictly monotonic, so argmax peak locations are
         # unchanged — skip materialising the normalised f32 maps (3 full-map
@@ -306,7 +312,12 @@ class Predictor:
         num_output_channels: int = 18,
         **kw,
     ) -> "Predictor":
-        """Build from a saved params/checkpoint msgpack file.
+        """Build from a saved params/checkpoint msgpack file — or directly
+        from a REFERENCE checkpoint (keras ``.h5`` / torch
+        ``checkpoint.pth`` / TorchScript ``best_model.pth``), which is
+        auto-detected (or forced with ``import_reference=True``) and
+        converted on the fly via :mod:`..importers`; the architecture then
+        comes from the checkpoint's own weight shapes.
 
         Full checkpoint payloads carry BatchNorm running stats
         (``batch_stats``) which the BN model families (ResNet /
@@ -314,6 +325,25 @@ class Predictor:
         through automatically."""
         if isinstance(cfg, str):
             cfg = Config.from_json(cfg)
+        import_reference = kw.pop("import_reference", False)
+        from .importers import is_reference_checkpoint
+
+        if import_reference or is_reference_checkpoint(checkpoint_path):
+            from .importers import import_reference_checkpoint
+
+            imported = import_reference_checkpoint(checkpoint_path)
+            in_ch = imported.arch_kwargs.get("in_channels")
+            if in_ch is not None and in_ch != image_shape[-1]:
+                raise ValueError(
+                    f"imported checkpoint expects {in_ch}-channel inputs, "
+                    f"dataset provides {image_shape[-1]}"
+                )
+            model = imported.build_model(dtype=jnp.bfloat16)
+            params = jax.tree_util.tree_map(jnp.asarray, imported.params)
+            return cls(
+                cfg, params, image_shape,
+                imported.arch_kwargs["out_channels"], model=model, **kw,
+            )
         from .models import needs_camera_matrices
 
         model = build_model(cfg, image_shape, num_output_channels)

@@ -122,11 +122,23 @@ class DecoderUp(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     def _deconv(self, features: int, stride: int, name: str) -> nn.ConvTranspose:
+        # torch flavour, stride 2: the reference's ConvTranspose2d(k=3, s=2,
+        # padding=1, output_padding=1) crops one row/col from the TOP/LEFT
+        # of the full transposed output; flax "SAME" crops bottom/right (the
+        # TF convention). Explicit (low=k-2, high=k-1) padding reproduces
+        # the torch crop exactly (verified numerically vs torch;
+        # pytorch/CNNs.py:108-129) — without it every imported torch
+        # checkpoint would be off by one pixel after each stride-2 deconv.
+        if self.flavor == "torch" and stride == 2:
+            k = self.kernel_size
+            padding = ((k - 2, k - 1), (k - 2, k - 1))
+        else:
+            padding = "SAME"
         return nn.ConvTranspose(
             features,
             (self.kernel_size, self.kernel_size),
             strides=(stride, stride),
-            padding="SAME",
+            padding=padding,
             dtype=self.dtype,
             param_dtype=jnp.float32,
             name=name,

@@ -45,9 +45,11 @@ def _deconv_s1(x, w, acc=None):
 
 
 def _deconv_s2(x, w, acc=None):
-    # flax ConvTranspose(k3, s2, SAME) == lhs-dilated conv, padding (2, 1)
+    # torch-flavour ConvTranspose(k3, s2, padding ((1,2),(1,2)) — the
+    # reference ConvTranspose2d p=1/op=1 crop, models/layers.py) ==
+    # lhs-dilated conv, padding (1, 2)
     return lax.conv_general_dilated(
-        x, w, (1, 1), [(2, 1), (2, 1)], lhs_dilation=(2, 2),
+        x, w, (1, 1), [(1, 2), (1, 2)], lhs_dilation=(2, 2),
         dimension_numbers=_DN, preferred_element_type=acc,
     )
 

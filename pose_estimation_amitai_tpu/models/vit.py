@@ -26,7 +26,7 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import TF_ALPHA, TORCH_ALPHA, leaky
+from .layers import TORCH_ALPHA, leaky
 
 Dtype = Any
 
@@ -44,13 +44,17 @@ class Attention(nn.Module):
     dropout: float = 0.0
     dtype: Dtype = jnp.bfloat16
     pre_norm: bool = True  # False: raw input (tf post-LN blocks norm after)
+    # torch flavour: bias-free fused qkv (pytorch_vit_encoder.py:52);
+    # tf flavour: keras MultiHeadAttention defaults to biased q/k/v
+    # projections (vitPose.py:66-68)
+    qkv_bias: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         inner = self.dim_head * self.heads
         y = (nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
              if self.pre_norm else x.astype(jnp.float32))
-        qkv = nn.Dense(inner * 3, use_bias=False, dtype=self.dtype,
+        qkv = nn.Dense(inner * 3, use_bias=self.qkv_bias, dtype=self.dtype,
                        param_dtype=jnp.float32, name="to_qkv")(y)
         b, n, _ = qkv.shape
         qkv = qkv.reshape(b, n, 3, self.heads, self.dim_head)
@@ -112,7 +116,7 @@ class Transformer(nn.Module):
             for i in range(self.depth):
                 a = Attention(self.dim, self.heads, self.dim_head,
                               0.1,  # fixed attention dropout, vitPose.py:66
-                              self.dtype, pre_norm=False,
+                              self.dtype, pre_norm=False, qkv_bias=True,
                               name=f"attn{i}")(x, train=train)
                 x = nn.LayerNorm(dtype=jnp.float32, name=f"postnorm{i}a")(
                     x + a
@@ -189,18 +193,42 @@ class CNNDecoderViT(nn.Module):
     # HBM passes. Training and heatmap-returning paths keep the reference
     # normalisation (pytorch/VITs.py:55-58).
     normalize_output: bool = True
+    # Checkpoint-fidelity switch: the reference reshapes (B, N, dim) tokens
+    # as ``x.reshape(-1, dim, 12, 12)`` (pytorch/VITs.py:40) — a raw
+    # memory-order cast that SCRAMBLES token and channel axes rather than
+    # forming the (12, 12) token grid. The sane grid (default) is what new
+    # training should use; imported reference checkpoints were trained
+    # against the scrambled layout and only reproduce their outputs with
+    # ``ref_token_grid=True``.
+    ref_token_grid: bool = False
 
     @nn.compact
     def __call__(self, tokens: jnp.ndarray) -> jnp.ndarray:
         b, n, d = tokens.shape
         g = int(round(n**0.5))
-        x = tokens.reshape(b, g, g, d).astype(self.dtype)
-        alpha = TORCH_ALPHA if self.flavor == "torch" else TF_ALPHA
+        if self.ref_token_grid:
+            # row-major cast to (d, g, g) exactly like torch's reshape,
+            # then to NHWC for our deconvs
+            x = tokens.reshape(b, d, g, g).transpose(0, 2, 3, 1)
+        else:
+            x = tokens.reshape(b, g, g, d)
+        x = x.astype(self.dtype)
+        # both flavours use alpha=0.1 here: the TF ViT decoder hard-codes
+        # LeakyReLU(alpha=0.1) on every deconv incl. the head
+        # (tensorflow/vitPose.py:89-96), unlike the TF CNN stack's 0.01
+        alpha = TORCH_ALPHA
 
         def deconv(feat, name):
+            # torch flavour: reproduce ConvTranspose2d(k, s=2, p=1, op=1)'s
+            # top/left crop exactly (see layers.DecoderUp._deconv)
+            if self.flavor == "torch":
+                k = self.kernel_size
+                padding = ((k - 2, k - 1), (k - 2, k - 1))
+            else:
+                padding = "SAME"
             return nn.ConvTranspose(
                 feat, (self.kernel_size, self.kernel_size), strides=(2, 2),
-                padding="SAME", dtype=self.dtype, param_dtype=jnp.float32,
+                padding=padding, dtype=self.dtype, param_dtype=jnp.float32,
                 name=name,
             )
 
@@ -244,6 +272,7 @@ class ViTPoseNet(nn.Module):
     flavor: str = "torch"
     dtype: Dtype = jnp.bfloat16
     normalize_output: bool = True  # see CNNDecoderViT.normalize_output
+    ref_token_grid: bool = False  # see CNNDecoderViT.ref_token_grid
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
@@ -257,6 +286,7 @@ class ViTPoseNet(nn.Module):
         return CNNDecoderViT(self.out_channels, self.dim, self.kernel_size,
                              self.flavor, self.dtype,
                              normalize_output=self.normalize_output,
+                             ref_token_grid=self.ref_token_grid,
                              name="decoder")(tokens)
 
 

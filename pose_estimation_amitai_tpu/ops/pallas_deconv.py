@@ -6,15 +6,16 @@ deconv x2up head, LeakyReLU everywhere) into one VMEM-resident kernel per
 frame, eliminating the ~5 HBM activation round-trips at 96x96x128.
 
 Math: flax ConvTranspose(k3, s1, SAME) == a plain (unflipped) SAME conv;
-ConvTranspose(k3, s2, SAME) == conv with lhs_dilation=2, padding=(2, 1)
+the torch-flavour stride-2 ConvTranspose (reference p=1/op=1 crop,
+models/layers.py DecoderUp) == conv with lhs_dilation=2, padding=(1, 2)
 (verified numerically). The stride-2 layers are computed in *parity-planar*
 form — output phase (a, b) of the 2x-upsampled grid is a small conv of the
-input:
+input (see ``_up_taps``):
 
-    y[2j,   2l  ] = sum of taps W[{0,2}, {0,2}] at x[j-1 / j, l-1 / l]
-    y[2j+1, 2l  ] = taps W[1, {0,2}]
-    y[2j,   2l+1] = taps W[{0,2}, 1]
-    y[2j+1, 2l+1] = x[j, l] . W[1, 1]
+    y[2j,   2l  ] = x[j, l] . W[1, 1]
+    y[2j+1, 2l  ] = taps W[{0,2}, 1] at x[j / j+1, l]
+    y[2j,   2l+1] = taps W[1, {0,2}]
+    y[2j+1, 2l+1] = taps W[{0,2}, {0,2}] at x[j / j+1, l / l+1]
 
 so the whole decoder runs on 48x48 planes: d1 produces 4 parity planes of
 the 96-grid; d2/d3 (stride-1 convs on the 96-grid) become 9-tap plane-mixing
@@ -47,10 +48,15 @@ def _up_taps(parity: int):
     """Row (or col) taps of a stride-2 k3 ConvTranspose for out parity a.
 
     Returns a list of (input_index_shift, kernel_row) pairs for
-    y[2j + a] = sum_t x[j + shift_t] . W[row_t]."""
+    y[2j + a] = sum_t x[j + shift_t] . W[row_t], in the torch-flavour crop
+    convention (ConvTranspose2d p=1/op=1 == lhs-dilated conv, padding
+    (1, 2) — models/layers.py DecoderUp): the output is the flax-SAME
+    result shifted up/left by one, so
+      y[2j]   = x[j]   . W[1]
+      y[2j+1] = x[j] . W[0] + x[j+1] . W[2]."""
     if parity == 0:
-        return [(-1, 0), (0, 2)]
-    return [(0, 1)]
+        return [(0, 1)]
+    return [(0, 0), (1, 2)]
 
 
 def _s1_taps(parity: int):

@@ -1,0 +1,477 @@
+"""Reference-checkpoint importer parity (round-2 verdict missing #2).
+
+Ground truth is produced live:
+
+* torch side — state_dict-compatible replicas of the reference modules
+  (same attribute names => same checkpoint keys; semantics per
+  pytorch/CNNs.py:9-186, pytorch/VITs.py:13-58+197-229,
+  pytorch/pytorch_vit_encoder.py:12-149) run in eval mode on random
+  weights; the imported flax model must reproduce their outputs.
+* keras side — an .h5 written in the keras ``model_weights`` layout with
+  random weights; ground truth is an independent lax-op oracle
+  implementing the keras graph semantics (SAME correlations,
+  gradient-of-conv transposed convs, LeakyReLU(0.01), SAME max-pool) per
+  tensorflow/Network.py:416-474.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from pose_estimation_amitai_tpu.importers import (
+    import_keras_h5,
+    import_reference_checkpoint,
+    import_torch_checkpoint,
+)
+
+torch = pytest.importorskip("torch")
+nn = torch.nn
+
+
+# ---------------------------------------------------------------------------
+# torch replicas (reference attribute names -> reference state_dict keys)
+# ---------------------------------------------------------------------------
+class _RefEncoder(nn.Module):
+    """pytorch/CNNs.py:9-88 active forward (bn built but bypassed)."""
+
+    def __init__(self, cin, f, k=3, d=2):
+        super().__init__()
+
+        def conv(i, o):
+            return nn.Conv2d(i, o, k, padding=d, dilation=d)
+
+        widths = [(cin, f), (f, f), (f, f),
+                  (f, 2 * f), (2 * f, 2 * f), (2 * f, 2 * f),
+                  (2 * f, 4 * f), (4 * f, 4 * f), (4 * f, 4 * f)]
+        for n_, (i, o) in enumerate(widths, start=1):
+            setattr(self, f"conv{n_}", conv(i, o))
+            setattr(self, f"bn{n_}", nn.BatchNorm2d(o))  # unused, key parity
+        self.maxpool = nn.MaxPool2d(2, 2)
+        self.leakyrelu = nn.LeakyReLU(0.1)
+
+    def forward(self, x):
+        a = self.leakyrelu
+        x1 = a(self.conv1(x))
+        x2 = a(self.conv2(x1)) + x1
+        x3 = a(self.conv3(x2)) + x2
+        x = a(self.maxpool(x3))
+        x4 = a(self.conv4(x))
+        x5 = a(self.conv5(x4)) + x4
+        x6 = a(self.conv6(x5)) + x5
+        x = a(self.maxpool(x6))
+        x7 = a(self.conv7(x))
+        x8 = a(self.conv8(x7)) + x7
+        x9 = a(self.conv9(x8)) + x8
+        return x9
+
+
+class _RefDecoder(nn.Module):
+    """pytorch/CNNs.py:92-157 active forward."""
+
+    def __init__(self, cin, cout, k=3):
+        super().__init__()
+        h = cin // 2
+        self.conv2dTranspose1 = nn.ConvTranspose2d(
+            cin, h, k, stride=2, padding=1, output_padding=1)
+        self.conv2dTranspose2 = nn.ConvTranspose2d(h, h, k, stride=1, padding=1)
+        self.conv2dTranspose3 = nn.ConvTranspose2d(h, h, k, stride=1, padding=1)
+        self.conv2dTranspose4 = nn.ConvTranspose2d(
+            h, cout, k, stride=2, padding=1, output_padding=1)
+        self.leakyrelu = nn.LeakyReLU(0.1)
+
+    def forward(self, x):
+        a = self.leakyrelu
+        x1 = a(self.conv2dTranspose1(x))
+        x2 = a(self.conv2dTranspose2(x1)) + x1
+        x3 = a(self.conv2dTranspose3(x2)) + x2
+        return a(self.conv2dTranspose4(x3))
+
+
+class _RefBasicNet(nn.Module):
+    def __init__(self, cin, cout, f=8):
+        super().__init__()
+        self.encoder = _RefEncoder(cin, f)
+        self.decoder = _RefDecoder(4 * f, cout)
+
+    def forward(self, x):
+        return self.decoder(self.encoder(x))
+
+
+def _apply_flax(imported, x_nchw):
+    model = imported.build_model(dtype=jnp.float32)
+    xj = jnp.asarray(np.transpose(x_nchw, (0, 2, 3, 1)))
+    out = model.apply({"params": jax.tree_util.tree_map(jnp.asarray,
+                                                        imported.params)},
+                      xj, train=False)
+    return np.transpose(np.asarray(out), (0, 3, 1, 2))
+
+
+def _peaks(maps_nchw):
+    n, c, _, w = maps_nchw.shape
+    flat = maps_nchw.reshape(n, c, -1).argmax(-1)
+    return np.stack(np.divmod(flat, w), axis=-1)
+
+
+@pytest.mark.quick
+def test_torch_basicnet_checkpoint_roundtrip(tmp_path):
+    torch.manual_seed(0)
+    net = _RefBasicNet(4, 6).eval()
+    x = torch.rand(2, 4, 48, 48)
+    with torch.no_grad():
+        ref = net(x).numpy()
+
+    path = str(tmp_path / "checkpoint.pth")
+    torch.save({"epoch": 3, "model_state_dict": net.state_dict(),
+                "loss": 0.1}, path)
+    imported = import_torch_checkpoint(path)
+    assert imported.model_kind == "basic_cnn"
+    assert imported.arch_flavor == "torch"
+    assert imported.arch_kwargs["out_channels"] == 6
+    got = _apply_flax(imported, x.numpy())
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(_peaks(got), _peaks(ref))
+
+
+@pytest.mark.quick
+def test_torchscript_best_model_roundtrip(tmp_path):
+    """best_model.pth is TorchScript (pytorch/train_pytorch.py:177-181)."""
+    torch.manual_seed(1)
+    net = _RefBasicNet(4, 5).eval()
+    x = torch.rand(1, 4, 48, 48)
+    with torch.no_grad():
+        ref = net(x).numpy()
+    path = str(tmp_path / "best_model.pth")
+    torch.jit.script(net).save(path)
+    imported = import_reference_checkpoint(path)  # auto-detect route
+    got = _apply_flax(imported, x.numpy())
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# torch ViT replica
+# ---------------------------------------------------------------------------
+class _RefAttention(nn.Module):
+    def __init__(self, dim, heads, dim_head):
+        super().__init__()
+        inner = heads * dim_head
+        self.heads = heads
+        self.scale = dim_head ** -0.5
+        self.norm = nn.LayerNorm(dim)
+        self.to_qkv = nn.Linear(dim, inner * 3, bias=False)
+        self.to_out = nn.Sequential(nn.Linear(inner, dim), nn.Dropout(0.0))
+
+    def forward(self, x):
+        x = self.norm(x)
+        qkv = self.to_qkv(x).chunk(3, dim=-1)
+        q, k, v = [t.reshape(t.shape[0], t.shape[1], self.heads, -1)
+                   .permute(0, 2, 1, 3) for t in qkv]
+        attn = torch.softmax(q @ k.transpose(-1, -2) * self.scale, dim=-1)
+        out = (attn @ v).permute(0, 2, 1, 3)
+        out = out.reshape(out.shape[0], out.shape[1], -1)
+        return self.to_out(out)
+
+
+class _RefFeedForward(nn.Module):
+    def __init__(self, dim, hidden):
+        super().__init__()
+        self.net = nn.Sequential(
+            nn.LayerNorm(dim), nn.Linear(dim, hidden), nn.GELU(),
+            nn.Dropout(0.0), nn.Linear(hidden, dim), nn.Dropout(0.0))
+
+    def forward(self, x):
+        return self.net(x)
+
+
+class _RefTransformer(nn.Module):
+    def __init__(self, dim, depth, heads, dim_head, mlp_dim):
+        super().__init__()
+        self.norm = nn.LayerNorm(dim)
+        self.layers = nn.ModuleList([
+            nn.ModuleList([_RefAttention(dim, heads, dim_head),
+                           _RefFeedForward(dim, mlp_dim)])
+            for _ in range(depth)])
+
+    def forward(self, x):
+        for attn, ff in self.layers:
+            x = attn(x) + x
+            x = ff(x) + x
+        return self.norm(x)
+
+
+class _RefCustomViT(nn.Module):
+    def __init__(self, img, p, dim, depth, heads, dim_head, mlp_dim, cin=4):
+        super().__init__()
+        n = (img // p) ** 2
+        self.patch_size = p
+        self.patch_dim = cin * p * p
+        self.patch_to_embedding = nn.Linear(self.patch_dim, dim)
+        self.norm = nn.LayerNorm(dim)
+        self.pos_embedding = nn.Parameter(torch.randn(1, n, dim))
+        self.cls_token = nn.Parameter(torch.randn(1, 1, dim))  # unused
+        self.transformer = _RefTransformer(dim, depth, heads, dim_head, mlp_dim)
+
+    def forward(self, img):
+        b, c, _, _ = img.shape
+        p = self.patch_size
+        patches = img.unfold(2, p, p).unfold(3, p, p)
+        patches = patches.contiguous().view(b, c, -1, p, p)
+        patches = patches.permute(0, 2, 1, 3, 4).contiguous()
+        patches = patches.view(b, -1, self.patch_dim)
+        x = self.norm(self.patch_to_embedding(patches))
+        x = x + self.pos_embedding[:, : x.size(1)]
+        return self.transformer(x)
+
+
+class _RefViTDecoder(nn.Module):
+    """pytorch/VITs.py:13-58 incl. the scrambled token reshape (line 40)."""
+
+    def __init__(self, dim, cout, grid, k=3):
+        super().__init__()
+        self.dim, self.grid = dim, grid
+
+        def dc(i, o):
+            return nn.ConvTranspose2d(i, o, k, stride=2, padding=1,
+                                      output_padding=1)
+
+        self.deconv1 = dc(dim, dim)
+        self.deconv2 = dc(dim, dim)
+        self.deconv3 = dc(dim, dim)
+        self.deconv4 = dc(dim, cout)
+        self.leakyrelu = nn.LeakyReLU(0.1)
+
+    def forward(self, x):
+        x = x.reshape(-1, self.dim, self.grid, self.grid)
+        a = self.leakyrelu
+        x = a(self.deconv1(x))
+        x = a(self.deconv2(x))
+        x = a(self.deconv3(x))
+        x = a(self.deconv4(x))
+        return (x - x.min()) / (x.max() - x.min())
+
+
+class _RefViTNet(nn.Module):
+    def __init__(self, img=48, p=16, dim=36, depth=2, heads=2, cout=5):
+        super().__init__()
+        self.vit_encoder = _RefCustomViT(img, p, dim, depth, heads,
+                                         dim_head=dim, mlp_dim=dim * 4)
+        self.cnn_decoder = _RefViTDecoder(dim, cout, grid=img // p)
+
+    def forward(self, x):
+        return self.cnn_decoder(self.vit_encoder(x))
+
+
+@pytest.mark.quick
+def test_torch_vit_checkpoint_roundtrip(tmp_path):
+    """VIT_encoder_CNN_decoder import, incl. the reference's scrambled
+    token-grid reshape (pytorch/VITs.py:40) via ref_token_grid=True.
+    Batch 1 so the reference's batch-global min-max equals the rebuild's
+    per-sample normalisation."""
+    torch.manual_seed(2)
+    net = _RefViTNet().eval()
+    x = torch.rand(1, 4, 48, 48)
+    with torch.no_grad():
+        ref = net(x).numpy()
+
+    path = str(tmp_path / "vit_checkpoint.pth")
+    torch.save({"model_state_dict": net.state_dict()}, path)
+    imported = import_torch_checkpoint(path)
+    assert imported.model_kind == "vit"
+    assert imported.arch_kwargs["ref_token_grid"] is True
+    assert imported.arch_kwargs["patch_size"] == 16
+    assert imported.arch_kwargs["depth"] == 2
+    got = _apply_flax(imported, x.numpy())
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-4)
+    np.testing.assert_array_equal(_peaks(got), _peaks(ref))
+
+
+# ---------------------------------------------------------------------------
+# keras .h5 (no TF in the image: file written in keras layout, ground
+# truth from an independent lax-op oracle of the keras graph)
+# ---------------------------------------------------------------------------
+def _write_keras_h5(path, enc_weights, dec_weights):
+    """Emit the nested-model layout keras produces for basic_nn
+    (model_weights/<submodel> groups with weight_names attrs)."""
+    import h5py
+
+    with h5py.File(path, "w") as f:
+        mw = f.create_group("model_weights")
+        mw.attrs["layer_names"] = [b"x_in", b"Encoder2DAtrous", b"Decoder2D"]
+        mw.create_group("x_in")
+
+        def fill(gname, weights):
+            g = mw.create_group(gname)
+            names = []
+            for i, (kern, bias) in enumerate(weights):
+                lname = "conv2d" if i == 0 else f"conv2d_{i}"
+                kn = f"{gname}/{lname}/kernel:0"
+                bn = f"{gname}/{lname}/bias:0"
+                g.create_dataset(kn, data=kern)
+                g.create_dataset(bn, data=bias)
+                names += [kn.encode(), bn.encode()]
+            g.attrs["weight_names"] = names
+
+        fill("Encoder2DAtrous", enc_weights)
+        fill("Decoder2D", dec_weights)
+
+
+def _keras_oracle(x, enc_weights, dec_weights, nb):
+    """Independent keras-semantics forward (tensorflow/Network.py:416-474):
+    SAME dilated correlations, LeakyReLU(0.01), SAME max-pool + relu,
+    gradient-of-conv transposed convs."""
+
+    def conv(v, kern, bias, dil=1):
+        return lax.conv_general_dilated(
+            v, jnp.asarray(kern), (1, 1), "SAME",
+            rhs_dilation=(dil, dil),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bias
+
+    def deconv(v, kern, bias):
+        # tf.nn.conv2d_transpose == grad of SAME stride-2 conv2d whose
+        # filter is the keras kernel read as (kh, kw, I, O)
+        b, h, w, _ = v.shape
+        cout = kern.shape[2]
+        x0 = jnp.zeros((b, h * 2, w * 2, cout))
+        _, vjp = jax.vjp(
+            lambda t: lax.conv_general_dilated(
+                t, jnp.asarray(kern), (2, 2), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC")), x0)
+        return vjp(v)[0] + bias
+
+    def leaky(v):
+        return jnp.where(v > 0, v, 0.01 * v)
+
+    idx = 0
+    v = jnp.asarray(x)
+    for _ in range(nb):
+        v = leaky(conv(v, *enc_weights[idx], dil=2)); idx += 1
+        v = leaky(conv(v, *enc_weights[idx], dil=2)); idx += 1
+        v = conv(v, *enc_weights[idx], dil=2); idx += 1
+        v = jax.nn.relu(lax.reduce_window(
+            v, -jnp.inf, lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "SAME"))
+    for _ in range(3):
+        v = leaky(conv(v, *enc_weights[idx], dil=2)); idx += 1
+    idx = 0
+    for _ in range(nb - 1, 0, -1):
+        v = leaky(deconv(v, *dec_weights[idx])); idx += 1
+        v = leaky(conv(v, *dec_weights[idx])); idx += 1
+        v = leaky(conv(v, *dec_weights[idx])); idx += 1
+    return np.asarray(deconv(v, *dec_weights[idx]))
+
+
+@pytest.mark.quick
+def test_keras_h5_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    f0, cin, cout, nb = 8, 4, 6, 2
+
+    def w(kh, kw, i, o):
+        return (rng.normal(0, 0.15, (kh, kw, i, o)).astype(np.float32),
+                rng.normal(0, 0.05, (o,)).astype(np.float32))
+
+    enc = []
+    c = cin
+    for b in range(nb):
+        f = f0 * 2 ** b
+        enc += [w(3, 3, c, f), w(3, 3, f, f), w(3, 3, f, f)]
+        c = f
+    f = f0 * 2 ** nb
+    enc += [w(3, 3, c, f), w(3, 3, f, f), w(3, 3, f, f)]
+    dec = []
+    c = f
+    for b in range(nb - 1, 0, -1):
+        f = f0 * 2 ** b
+        dec += [(rng.normal(0, 0.15, (3, 3, f, c)).astype(np.float32),
+                 rng.normal(0, 0.05, (f,)).astype(np.float32)),
+                w(3, 3, f, f), w(3, 3, f, f)]
+        c = f
+    dec += [(rng.normal(0, 0.15, (3, 3, cout, c)).astype(np.float32),
+             rng.normal(0, 0.05, (cout,)).astype(np.float32))]
+
+    path = str(tmp_path / "best_model.h5")
+    _write_keras_h5(path, enc, dec)
+
+    imported = import_reference_checkpoint(path)
+    assert imported.model_kind == "basic_cnn"
+    assert imported.arch_flavor == "tf"
+    assert imported.arch_kwargs == dict(
+        out_channels=cout, filters=f0, kernel_size=3, dilation=2,
+        num_blocks=nb, in_channels=cin)
+
+    x = rng.random((2, 48, 48, cin)).astype(np.float32)
+    ref = _keras_oracle(x, enc, dec, nb)
+    model = imported.build_model(dtype=jnp.float32)
+    got = np.asarray(model.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, imported.params)},
+        jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.quick
+def test_cli_infer_with_imported_reference_checkpoint(tmp_path):
+    """End-to-end verdict item: ``cli infer --import-reference`` consumes a
+    reference torch checkpoint directly, and ``--mat`` adds the MATLAB
+    artifact (tensorflow/CallBacks.py:26-27 dialect)."""
+    from scipy.io import loadmat
+
+    from pose_estimation_amitai_tpu import constants as C
+    from pose_estimation_amitai_tpu.cli import main as cli_main
+    from pose_estimation_amitai_tpu.data.synthetic import write_synthetic_h5
+
+    data = str(tmp_path / "data.h5")
+    write_synthetic_h5(data, num_frames=3, num_points=8, image_size=48)
+
+    # per-wing 18-pnts path on the synthetic set: 4-ch input, 5 confmap
+    # channels ((8-2)/2 wing points + head/tail)
+    torch.manual_seed(3)
+    net = _RefBasicNet(4, 5).eval()
+    ckpt = str(tmp_path / "checkpoint.pth")
+    torch.save({"model_state_dict": net.state_dict()}, ckpt)
+
+    cfg_path = str(tmp_path / "config.json")
+    import json as _json
+
+    with open(cfg_path, "w") as f:
+        _json.dump({"model type": C.MODEL_18_POINTS_PER_WING,
+                    "batch size": 4}, f)
+
+    out = str(tmp_path / "preds.npz")
+    rc = cli_main(["infer", cfg_path, ckpt, data, out,
+                   "--import-reference", "--mat", "--chunk-size", "8"])
+    assert rc == 0
+    with np.load(out) as z:
+        pts = z["points_2d"]
+        assert pts.shape[1] == 3  # (S, 3, K)
+        assert "points_3d" in z.files
+    mat = loadmat(str(tmp_path / "preds.mat"))
+    assert mat["points_2d"].shape == pts.shape
+
+
+@pytest.mark.quick
+def test_cli_import_subcommand_roundtrip(tmp_path):
+    """``cli import`` converts to a native msgpack snapshot that
+    Predictor.from_checkpoint restores (weights-only payload)."""
+    import json as _json
+
+    from flax import serialization
+
+    from pose_estimation_amitai_tpu.cli import main as cli_main
+
+    torch.manual_seed(4)
+    net = _RefBasicNet(4, 6).eval()
+    ckpt = str(tmp_path / "best_model.pth")
+    torch.jit.script(net).save(ckpt)
+
+    out = str(tmp_path / "imported.msgpack")
+    rc = cli_main(["import", ckpt, out], )
+    assert rc == 0
+
+    imported = import_torch_checkpoint(ckpt)
+    with open(out, "rb") as f:
+        restored = serialization.msgpack_restore(f.read())
+    for tree in ("encoder", "decoder"):
+        for k, v in imported.params[tree].items():
+            np.testing.assert_array_equal(
+                restored[tree][k]["kernel"], v["kernel"])
