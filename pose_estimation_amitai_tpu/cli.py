@@ -134,11 +134,16 @@ def cmd_infer(args) -> int:
     ):
         per_cam = pts.reshape(-1, ncams, 3, pts.shape[-1])
         pts2d = np.transpose(per_cam[:, :, :2, :], (0, 1, 3, 2))  # (2F,4,K,2)
-        # crop offsets in per-wing sample order (block-tiled, preprocess.py)
-        cz_all = pre.get_cropzone_per_wing()[: pts2d.shape[0]]
-        out["points_3d"] = lift_to_3d(
-            pts2d, cz_all, pre.camera_matrices
-        )
+        # crop offsets in per-wing sample order (block-tiled, preprocess.py);
+        # frames mixed in from a test file carry FABRICATED offsets — their
+        # 3D rows are masked to NaN and flagged in points_3d_valid
+        cz_all = pre.get_cropzone_per_wing(allow_invalid=True)
+        cz_valid = pre.get_cropzone_valid_per_wing()[: pts2d.shape[0]]
+        cz_all = cz_all[: pts2d.shape[0]]
+        pts3d = np.array(lift_to_3d(pts2d, cz_all, pre.camera_matrices))
+        pts3d[~cz_valid] = np.nan
+        out["points_3d"] = pts3d
+        out["points_3d_valid"] = cz_valid
     dest = args.out or "predictions.npz"
     np.savez(dest, **out)
     written = [dest]

@@ -57,6 +57,8 @@ _ALIASES: dict[str, tuple[str, ...]] = {
     "data_path": ("data_path", "data path"),
     "mix_with_test": ("mix_with_test",),
     "mask_dilation": ("mask dilation",),
+    "ensure_3d_consistency": ("ensure 3d consistency",
+                              "ensure_3d_consistency"),
     "single_time_channel": ("single time channel",),
     "do_augmentations": ("do augmentations",),
     "xy_shifts": ("augmentation shift x y",),
@@ -142,6 +144,13 @@ class Config:
     data_path: str = "-"
     mix_with_test: bool = False
     mask_dilation: int = 1
+    # 3D left/right consistency repair during per-wing preprocess. The
+    # reference implemented the checker but left it commented out at the
+    # call site (pytorch/preprocessor.py:237-241) — default off keeps
+    # reference parity; on, the best flip mask (8 combos of cameras 1-3
+    # scored by multi-view reprojection error) is APPLIED to the wing
+    # masks/confmaps before the per-wing reshape.
+    ensure_3d_consistency: bool = False
     single_time_channel: bool = False
     # --- augmentation ---
     do_augmentations: bool = True

@@ -47,3 +47,46 @@ def test_swapped_camera_detected():
     expected = np.zeros((3, 3), bool)
     expected[:, 1] = True
     np.testing.assert_array_equal(flips, expected)
+
+
+def test_config_reachable_repair_restores_swapped_camera():
+    """Round-2 verdict #4: with ``ensure_3d_consistency`` on, a dataset
+    whose camera 2 carries deliberately swapped left/right wings (masks AND
+    confmap channel blocks) preprocesses to the SAME samples as the clean
+    dataset — the repair is applied before the per-wing split, resolving
+    the reference's dead code (pytorch/preprocessor.py:237-241)
+    consciously."""
+    arrays = make_synthetic_arrays(num_frames=3, num_points=8, image_size=96)
+
+    def run(arrs, **cfg_kw):
+        p = Preprocessor(
+            Config(model_type=C.MODEL_18_POINTS_PER_WING, **cfg_kw),
+            {k: v.copy() for k, v in arrs.items()},
+        )
+        p.do_preprocess()
+        return p
+
+    clean = run(arrays)
+
+    swapped = {k: v.copy() for k, v in arrays.items()}
+    pre_probe = Preprocessor(
+        Config(model_type=C.MODEL_18_POINTS_PER_WING),
+        {k: v.copy() for k, v in arrays.items()},
+    )
+    li, ri = pre_probe.left_inds, pre_probe.right_inds
+    lm, rm = pre_probe.left_mask_ind, pre_probe.right_mask_ind
+    cam = 2
+    cm = swapped["confmaps"]
+    tmp = cm[:, cam, ..., li].copy()
+    cm[:, cam, ..., li] = cm[:, cam, ..., ri]
+    cm[:, cam, ..., ri] = tmp
+    bx = swapped["box"]
+    bx[:, cam, ..., [lm, rm]] = bx[:, cam, ..., [rm, lm]]
+
+    # without the repair, the swap leaks into the samples
+    broken = run(swapped)
+    assert np.abs(broken.get_confmaps() - clean.get_confmaps()).max() > 1e-3
+
+    repaired = run(swapped, ensure_3d_consistency=True)
+    np.testing.assert_allclose(repaired.get_box(), clean.get_box())
+    np.testing.assert_allclose(repaired.get_confmaps(), clean.get_confmaps())

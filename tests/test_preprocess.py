@@ -331,3 +331,74 @@ def test_pair_file_camera_getters_refuse(arrays):
     # non-pair datasets keep working
     q = _pre(arrays, C.PER_WING_MODEL)
     assert q.get_cropzone().shape[0] == arrays["box"].shape[0]
+
+
+def test_mix_with_test_poisons_cropzone_consumption(arrays, tmp_path):
+    """Round-2 verdict #7: frames mixed in from a test file carry
+    replicated (fabricated) crop offsets — they must not silently reach
+    3D lift. The plain getter refuses; the explicit escape hatch exposes a
+    validity mask marking exactly the mixed-in tail."""
+    from pose_estimation_amitai_tpu.data.synthetic import write_synthetic_h5
+
+    test_h5 = str(tmp_path / "test.h5")
+    write_synthetic_h5(test_h5, num_frames=3, num_points=8, image_size=48,
+                       seed=9)
+    cfg = Config(model_type=C.MODEL_18_POINTS_PER_WING, mix_with_test=True,
+                 test_path=test_h5)
+    p = Preprocessor(cfg, {k: v.copy() for k, v in arrays.items()})
+    p.do_preprocess()
+
+    with pytest.raises(ValueError, match="fabricated"):
+        p.get_cropzone_per_wing()
+
+    valid = p.get_cropzone_valid_per_wing()
+    F = 5 + 3
+    assert valid.shape == (2 * F,)
+    # per-wing order is block-tiled: [frames, frames]; the 3 mixed-in
+    # frames sit at the tail of each block
+    expected = np.ones(F, bool)
+    expected[5:] = False
+    np.testing.assert_array_equal(valid, np.tile(expected, 2))
+
+    # unmixed datasets keep the plain getter working
+    q = _pre(arrays, C.MODEL_18_POINTS_PER_WING)
+    assert q.get_cropzone_per_wing().shape[0] == 10
+
+
+def test_body_parts_mask_swap_repair(arrays):
+    """reshape_to_body_parts must SWAP mislabeled part masks (peak 0 sits
+    in the channel-4 mask and peak 1 in the channel-3 mask) and leave
+    consistent images untouched. Also pins the aliasing fix: the swap
+    assigns from copies, not from views of the channels being overwritten
+    (the reference's in-place swap pattern, pytorch/preprocessor.py:551-588,
+    silently wrote the same mask into both channels)."""
+    p = Preprocessor(Config(model_type=C.BODY_PARTS_MODEL),
+                     {k: v.copy() for k, v in arrays.items()})
+    f, c, h, w, _ = p.box.shape
+    box = np.zeros_like(p.box)
+    cm = np.zeros_like(p.confmaps)
+    # two disjoint square masks: A (top-left), B (bottom-right)
+    A = (slice(4, 12), slice(4, 12))
+    B = (slice(30, 40), slice(30, 40))
+    box[:, :, A[0], A[1], 3] = 1.0  # channel 3 = "left" part mask at A
+    box[:, :, B[0], B[1], 4] = 1.0  # channel 4 = "right" part mask at B
+    # frame 0: consistent (peak 0 in A, peak 1 in B)
+    cm[0, :, 8, 8, 0] = 1.0
+    cm[0, :, 34, 34, 1] = 1.0
+    # frame 1: mislabeled (peak 0 in B, peak 1 in A) -> masks must swap
+    cm[1, :, 34, 34, 0] = 1.0
+    cm[1, :, 8, 8, 1] = 1.0
+    for fr in range(2, f):
+        cm[fr, :, 8, 8, 0] = 1.0
+        cm[fr, :, 34, 34, 1] = 1.0
+    p.box, p.confmaps = box.copy(), cm
+    p.do_preprocess()
+    out = p.get_box()  # (F*C, H, W, 5)
+    out = out.reshape(f, c, h, w, -1)
+    # frame 0 untouched
+    np.testing.assert_array_equal(out[0, 0, ..., 3], box[0, 0, ..., 3])
+    np.testing.assert_array_equal(out[0, 0, ..., 4], box[0, 0, ..., 4])
+    # frame 1 swapped — and NOT the same mask in both channels
+    np.testing.assert_array_equal(out[1, 0, ..., 3], box[1, 0, ..., 4])
+    np.testing.assert_array_equal(out[1, 0, ..., 4], box[1, 0, ..., 3])
+    assert np.abs(out[1, 0, ..., 3] - out[1, 0, ..., 4]).max() > 0
