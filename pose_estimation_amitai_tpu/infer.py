@@ -94,6 +94,19 @@ class Predictor:
         self.model = model if model is not None else build_model(
             cfg, image_shape, num_output_channels
         )
+        # 4-camera view folding is batch-regime dependent (measured, v5e):
+        # folded (views on the batch axis) wins at small batch (+33% bf16
+        # latency, +11-17% int8) but its 4x-batch decoder activations OOM
+        # past ~chunk 96 and large-batch unfolded matches or beats it
+        # (XLA sequences the views, so peak memory stays 1 view's
+        # activations and the batch can grow to the throughput-optimal
+        # size). Auto-select per chunk size; bit parity between the paths
+        # is pinned in tests/test_models.py.
+        if (
+            chunk_size >= 128
+            and getattr(self.model, "fold_views", None) is True
+        ):
+            self.model = self.model.clone(fold_views=False)
         # ViT-family peaks-only serving: the decoder's per-sample min-max
         # normalisation is strictly monotonic, so argmax peak locations are
         # unchanged — skip materialising the normalised f32 maps (3 full-map
@@ -165,6 +178,18 @@ class Predictor:
             and self.model.kernel_size == 3 and self.model.dilation == 2
         )
         fused_ok = use_fused and is_basic
+
+        # Introspectable serving route, pinned by the dispatch regression
+        # test (tests/test_serving_dispatch.py): 'int8_resident' — the
+        # hand-scheduled flagship path; 'int8_generic' — interceptor-based
+        # int8 for every other family; 'fused' — Pallas fused encoder;
+        # 'flax' — plain bf16 model.apply.
+        if use_quantized:
+            self.serving_path = "int8_resident" if is_basic else "int8_generic"
+        elif fused_ok:
+            self.serving_path = "fused"
+        else:
+            self.serving_path = "flax"
 
         quantized_fwd = None
         if use_quantized:

@@ -68,34 +68,69 @@ class MultiCamNet(nn.Module):
     flavor: str = "torch"
     do_attention: bool = False
     dtype: Dtype = jnp.bfloat16
+    # Fold the camera views into the BATCH axis for the shared encoder and
+    # decoder: one conv dispatch at 4x batch instead of 4 sequential view
+    # passes — the shared weights make the views embarrassingly
+    # batch-parallel, and larger batched convs tile the MXU far better
+    # than 4 small back-to-back dispatches (round-2 verdict #6). The
+    # unfolded path is kept for the bit-parity regression test; both share
+    # one param tree (the modules are applied with the same scopes).
+    fold_views: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
-        cc = x.shape[-1] // self.num_cams
-        views = [x[..., i * cc : (i + 1) * cc] for i in range(self.num_cams)]
+        b, h, w, c = x.shape
+        v = self.num_cams
+        cc = c // v
 
         encoder = EncoderAtrous(
             self.filters, self.kernel_size, self.dilation, self.dropout,
             self.num_blocks, self.flavor, self.dtype, name="shared_encoder",
         )
-        encs = [encoder(v, train=train) for v in views]
-        merged = jnp.concatenate(encs, axis=-1)
-
-        if self.flavor == "torch":
-            fused = nn.Conv(
-                merged.shape[-1], (1, 1), padding="VALID", dtype=self.dtype,
-                param_dtype=jnp.float32, name="fusion_conv",
-            )(merged) + merged
-        else:
-            fused = merged
-            if self.do_attention:
-                fused = LatentSelfAttention(dtype=self.dtype, name="fusion_attn")(
-                    fused
-                )
-
         decoder = DecoderUp(
-            self.out_channels // self.num_cams, self.filters, self.kernel_size,
+            self.out_channels // v, self.filters, self.kernel_size,
             self.num_blocks, self.flavor, self.dtype, name="shared_decoder",
         )
-        outs = [decoder(jnp.concatenate([e, fused], axis=-1)) for e in encs]
-        return jnp.concatenate(outs, axis=-1).astype(jnp.float32)
+
+        def fuse(merged):
+            if self.flavor == "torch":
+                # fused latent + residual (pytorch/CNNs.py:216-223)
+                return nn.Conv(
+                    merged.shape[-1], (1, 1), padding="VALID",
+                    dtype=self.dtype, param_dtype=jnp.float32,
+                    name="fusion_conv",
+                )(merged) + merged
+            if self.do_attention:
+                return LatentSelfAttention(
+                    dtype=self.dtype, name="fusion_attn"
+                )(merged)
+            return merged
+
+        if not self.fold_views:
+            views = [x[..., i * cc : (i + 1) * cc] for i in range(v)]
+            encs = [encoder(vw, train=train) for vw in views]
+            fused = fuse(jnp.concatenate(encs, axis=-1))
+            outs = [
+                decoder(jnp.concatenate([e, fused], axis=-1)) for e in encs
+            ]
+            return jnp.concatenate(outs, axis=-1).astype(jnp.float32)
+
+        # view-fold: channels are view-major blocks, so (B, H, W, V, cc)
+        # slices match x[..., i*cc:(i+1)*cc] exactly
+        xv = x.reshape(b, h, w, v, cc)
+        xv = jnp.moveaxis(xv, 3, 1).reshape(b * v, h, w, cc)
+        enc = encoder(xv, train=train)  # (B*V, h', w', C)
+        _, hh, ww, ec = enc.shape
+        encs = enc.reshape(b, v, hh, ww, ec)
+        merged = jnp.moveaxis(encs, 1, 3).reshape(b, hh, ww, v * ec)
+        fused = fuse(merged)
+        dec_in = jnp.concatenate(
+            [encs,
+             jnp.broadcast_to(fused[:, None],
+                              (b, v, hh, ww, fused.shape[-1]))],
+            axis=-1,
+        ).reshape(b * v, hh, ww, ec + fused.shape[-1])
+        out = decoder(dec_in)  # (B*V, H, W, K/V)
+        out = out.reshape(b, v, h, w, -1)
+        out = jnp.moveaxis(out, 1, 3).reshape(b, h, w, self.out_channels)
+        return out.astype(jnp.float32)

@@ -331,32 +331,64 @@ class ViT4Cameras(nn.Module):
     dropout: float = 0.0
     dtype: Dtype = jnp.bfloat16
     normalize_output: bool = True  # see CNNDecoderViT.normalize_output
+    # Fold the 4 camera views into the BATCH axis for the shared encoder,
+    # fusion blocks and decoder (one dispatch at 4x batch instead of 4
+    # sequential passes; per-(sample, view) min-max normalisation is
+    # unchanged because the unfolded decoder already normalised per sample
+    # within each view). The unfolded path stays for the bit-parity test.
+    fold_views: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         num_cams = 4
-        cc = x.shape[-1] // num_cams
-        views = [x[..., i * cc : (i + 1) * cc] for i in range(num_cams)]
+        b, h, w, c = x.shape
+        cc = c // num_cams
 
         embed = PatchEmbed(self.dim, self.patch_size, dtype=self.dtype,
                            name="patch_embed")
         encoder = Transformer(self.dim, self.depth, self.heads, self.dim_head,
                               self.dim * self.mlp_expand, self.dropout,
                               self.dtype, name="shared_encoder")
-        encs = [encoder(embed(v), train=train) for v in views]
-        skips = list(encs)
-        merged = jnp.concatenate(encs, axis=-1)  # (B, N, 4*dim)
-        for i in range(self.num_fuse_layers):
-            fuse = CrossAttentionFuse(self.dim * 5, self.dim, self.dtype,
-                                      name=f"fuse{i}")
-            encs = [
-                fuse(jnp.concatenate([e, merged], axis=-1), train=train) + e
-                for e in encs
-            ]
+        fuses = [CrossAttentionFuse(self.dim * 5, self.dim, self.dtype,
+                                    name=f"fuse{i}")
+                 for i in range(self.num_fuse_layers)]
         decoder = CNNDecoderViT(self.out_channels // num_cams, self.dim,
                                 self.kernel_size, "torch", self.dtype,
                                 normalize_output=self.normalize_output,
                                 name="shared_decoder")
-        outs = [decoder(e + s) for e, s in zip(encs, skips)]
-        out = jnp.concatenate(outs, axis=-1)
+
+        if not self.fold_views:
+            views = [x[..., i * cc : (i + 1) * cc] for i in range(num_cams)]
+            encs = [encoder(embed(v), train=train) for v in views]
+            skips = list(encs)
+            merged = jnp.concatenate(encs, axis=-1)  # (B, N, 4*dim)
+            for fuse in fuses:
+                encs = [
+                    fuse(jnp.concatenate([e, merged], axis=-1), train=train)
+                    + e
+                    for e in encs
+                ]
+            outs = [decoder(e + s) for e, s in zip(encs, skips)]
+            out = jnp.concatenate(outs, axis=-1)
+            return out if not self.normalize_output else out.astype(
+                jnp.float32
+            )
+
+        v = num_cams
+        xv = x.reshape(b, h, w, v, cc)
+        xv = jnp.moveaxis(xv, 3, 1).reshape(b * v, h, w, cc)
+        tokens = encoder(embed(xv), train=train)  # (B*V, N, D)
+        n, d = tokens.shape[1:]
+        encs = tokens.reshape(b, v, n, d)
+        skips = encs
+        merged = jnp.moveaxis(encs, 1, 2).reshape(b, n, v * d)
+        for fuse in fuses:
+            fin = jnp.concatenate(
+                [encs, jnp.broadcast_to(merged[:, None], (b, v, n, v * d))],
+                axis=-1,
+            ).reshape(b * v, n, d + v * d)
+            encs = fuse(fin, train=train).reshape(b, v, n, d) + encs
+        out = decoder((encs + skips).reshape(b * v, n, d))  # (B*V, H, W, K/V)
+        out = out.reshape(b, v, h, w, -1)
+        out = jnp.moveaxis(out, 1, 3).reshape(b, h, w, self.out_channels)
         return out if not self.normalize_output else out.astype(jnp.float32)

@@ -84,6 +84,11 @@ def bench_one(key: str, budget_s: float = 420.0) -> dict:
     cfg = Config(model_type=model_type, dropout_ratio=0.0)
     hw = HW
     model = build_model(cfg, (hw, hw, in_ch), out_ch)
+    if batch >= 128 and getattr(model, "fold_views", None) is True:
+        # large-batch regime: unfolded (XLA sequences the views, so peak
+        # memory stays one view's activations and the batch can grow to
+        # the throughput-optimal size) — mirrors infer.Predictor
+        model = model.clone(fold_views=False)
     if getattr(model, "normalize_output", None) is True:
         # peaks-only serving (this bench decodes peaks, like
         # infer.Predictor's argmax path): the ViT decoder's per-sample

@@ -142,3 +142,60 @@ def test_all_cams_all_points_trains_end_to_end(tmp_path):
     history = trainer.train()
     assert np.isfinite(history["train_loss"][0])
     assert np.isfinite(history["val_loss"][0])
+
+
+@pytest.mark.quick
+@pytest.mark.parametrize("flavor", ["torch", "tf"])
+def test_multicam_view_fold_bit_parity(flavor):
+    """Round-2 verdict #6: folding the 4 views into the batch axis for the
+    shared encoder/decoder (one conv dispatch at 4x batch instead of 4
+    sequential view passes) must be numerically identical to the per-view
+    path — same param tree, same outputs."""
+    from pose_estimation_amitai_tpu.models.multicam import MultiCamNet
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((2, 48, 48, 16), np.float32))
+    folded = MultiCamNet(out_channels=8, filters=8, flavor=flavor,
+                         dtype=jnp.float32)
+    params = folded.init({"params": jax.random.key(0)}, x, train=False)[
+        "params"
+    ]
+    unfolded = folded.clone(fold_views=False)
+    # identical param trees: the folded path applies the same modules
+    p2 = unfolded.init({"params": jax.random.key(0)}, x, train=False)[
+        "params"
+    ]
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(p2)
+    a = folded.apply({"params": params}, x, train=False)
+    c = unfolded.apply({"params": params}, x, train=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                               rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.quick
+def test_vit4cam_view_fold_bit_parity():
+    """View-fold parity for the 4-camera cross-attention ViT: encoder,
+    fusion blocks and decoder run at 4x batch; outputs must match the
+    per-view path on the same param tree (incl. the per-(sample, view)
+    min-max normalisation)."""
+    from pose_estimation_amitai_tpu.models.vit import ViT4Cameras
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.random((2, 32, 32, 16), np.float32))
+    folded = ViT4Cameras(out_channels=8, patch_size=16, dim=24, depth=1,
+                         heads=2, dim_head=12, num_fuse_layers=2,
+                         dtype=jnp.float32)
+    params = folded.init({"params": jax.random.key(0)}, x, train=False)[
+        "params"
+    ]
+    unfolded = folded.clone(fold_views=False)
+    p2 = unfolded.init({"params": jax.random.key(0)}, x, train=False)[
+        "params"
+    ]
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(p2)
+    a = folded.apply({"params": params}, x, train=False)
+    c = unfolded.apply({"params": params}, x, train=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                               rtol=2e-5, atol=2e-5)
