@@ -1,0 +1,219 @@
+"""MFU / roofline accounting for the flagship serving paths (verdict #5).
+
+For each serving path (bf16 XLA, int8, int8-resident) of the flagship
+``MODEL_18_POINTS_PER_WING`` BasicNet (192x192x4 -> 18 maps + on-device
+decode, batch 1024), this script:
+
+* extracts FLOPs and HBM bytes accessed from XLA's compiled cost analysis
+  of the EXACT benched program (the K-batch ``lax.scan`` movie loop,
+  normalised per frame);
+* measures throughput with the bench.py marginal-rate methodology;
+* reports achieved TFLOP/s (or TOP/s), HBM GB/s, and utilisation against
+  the v5e-1 peaks.
+
+v5e peaks (public spec): 197 TFLOP/s bf16, 394 TOP/s int8, 819 GB/s HBM.
+
+Output: one JSON line per path + a markdown table on stderr for RESULTS.md.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+sys.path.insert(0, ".")
+
+from pose_estimation_amitai_tpu.config import Config
+from pose_estimation_amitai_tpu.models import build_model
+from pose_estimation_amitai_tpu.models.quantized import (
+    calibrate,
+    make_quantized_forward,
+    make_quantized_resident_forward,
+)
+from pose_estimation_amitai_tpu.ops import peaks
+
+B = 1024
+K_SMALL, K_LARGE = 4, 20
+
+PEAK_BF16_TFLOPS = 197.0
+PEAK_INT8_TOPS = 394.0
+PEAK_HBM_GBPS = 819.0
+
+
+def build():
+    hw, in_ch, out_ch = 192, 4, 18
+    cfg = Config()
+    model = build_model(cfg, (hw, hw, in_ch), out_ch)
+    params = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(v, jnp.float32),
+        model.init({"params": jax.random.key(0)},
+                   jnp.zeros((1, hw, hw, in_ch), jnp.bfloat16),
+                   train=False)["params"],
+    )
+    rng = np.random.default_rng(0)
+    base = jnp.asarray(rng.random((B, hw, hw, in_ch), np.float32),
+                       jnp.bfloat16)
+    scales = calibrate(params,
+                       rng.random((8, hw, hw, in_ch)).astype(np.float32),
+                       batch=4)
+    return model, params, scales, base
+
+
+def scan_program(forward, K):
+    def run(params, base):
+        def body(c, i):
+            frames = base * (1.0 + i.astype(jnp.bfloat16) * 1e-3)
+            return c, peaks.find_peaks_with_vals(forward(frames))
+
+        _, out = jax.lax.scan(body, 0, jnp.arange(K))
+        return out
+
+    return run
+
+
+def analyze(forward, params, base):
+    """(flops_per_frame, hlo_bytes_per_frame) from XLA's HLO-level cost
+    analysis (CPU lowering — the axon remote backend exposes none; conv
+    FLOP counts are backend-independent at the unoptimised-HLO level).
+    ``bytes accessed`` at this level counts every op's operands/outputs
+    BEFORE fusion, so it is an upper bound on real HBM traffic."""
+    # loop-free single-batch program: HLO-level cost analysis does not
+    # multiply while-loop trip counts, so the K-scan would count ~nothing
+    def prog(p, b):
+        return peaks.find_peaks_with_vals(forward(b))
+
+    low = jax.jit(prog).lower(params, base)
+    ca = low.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    if not ca:
+        return 0.0, 0.0
+    return (float(ca.get("flops", 0.0)) / B,
+            float(ca.get("bytes accessed", 0.0)) / B)
+
+
+def measure(forward, params, base):
+    """Measured fps for a forward path (marginal-rate methodology)."""
+    progs = {}
+    for K in (K_SMALL, K_LARGE):
+        progs[K] = jax.jit(scan_program(forward, K)).lower(
+            params, base
+        ).compile()
+
+    def timed(K):
+        t0 = time.perf_counter()
+        np.asarray(progs[K](params, base))
+        return time.perf_counter() - t0
+
+    np.asarray(progs[K_SMALL](params, base))
+    np.asarray(progs[K_LARGE](params, base))
+    t_s = min(timed(K_SMALL) for _ in range(3))
+    t_l = min(timed(K_LARGE) for _ in range(3))
+    return (K_LARGE - K_SMALL) * B / (t_l - t_s)
+
+
+def min_hbm_bytes_per_frame(act_dtype_bytes: float) -> float:
+    """Modeled LOWER bound on HBM traffic per frame for the flagship:
+    input + output + every conv/deconv output written once and read once
+    by its consumer (XLA fuses elementwise chains into the convs; conv
+    outputs themselves must round-trip HBM once VMEM is exceeded).
+    Weights (~25 MB f32 / ~6.3 MB int8) are amortised over the batch and
+    negligible per frame at B=1024."""
+    hw = 192
+    enc = (
+        3 * hw * hw * 64          # conv1-3 @192^2 x 64
+        + 3 * (hw // 2) ** 2 * 128  # conv4-6 @96^2 x 128
+        + 3 * (hw // 4) ** 2 * 256  # conv7-9 @48^2 x 256
+    )
+    dec = (
+        3 * (hw // 2) ** 2 * 128    # d1-d3 @96^2 x 128
+        + hw * hw * 18              # d4 @192^2 x 18
+    )
+    io = hw * hw * 4 + hw * hw * 18  # input read + maps read by decode
+    return (2 * (enc + dec) + io) * act_dtype_bytes
+
+
+def paths(model, params, scales):
+    def xla_forward(frames):
+        return model.apply({"params": params}, frames, train=False)
+
+    qf = make_quantized_forward(model, params, scales,
+                                out_dtype=jnp.bfloat16)
+    qr = make_quantized_resident_forward(model, params, scales,
+                                         out_dtype=jnp.bfloat16)
+    return (("bf16", xla_forward, PEAK_BF16_TFLOPS, 2.0),
+            ("int8", qf, PEAK_INT8_TOPS, 2.0),
+            ("int8_resident", qr, PEAK_INT8_TOPS, 1.0))
+
+
+def main():
+    import subprocess
+
+    model, params, scales, base = build()
+
+    if "--analyze" in sys.argv:
+        # CPU-lowered HLO cost analysis (run with JAX_PLATFORMS=cpu)
+        out = {}
+        for name, fwd, _, _ in paths(model, params, scales):
+            flops_pf, hlo_bytes_pf = analyze(fwd, params, base)
+            out[name] = {"flops_pf": flops_pf, "hlo_bytes_pf": hlo_bytes_pf}
+        print("ANALYSIS " + json.dumps(out))
+        return
+
+    # HLO-level analysis in a CPU subprocess (axon exposes no cost model)
+    import os
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="")
+    proc = subprocess.run(
+        [sys.executable, __file__, "--analyze"], env=env,
+        capture_output=True, text=True, timeout=1200, cwd="/root/repo",
+    )
+    analysis = {}
+    for line in proc.stdout.splitlines():
+        if line.startswith("ANALYSIS "):
+            analysis = json.loads(line[len("ANALYSIS "):])
+    if not analysis:
+        print(f"[roofline] analysis subprocess failed: "
+              f"{proc.stdout[-300:]} {proc.stderr[-300:]}", file=sys.stderr)
+
+    rows = []
+    for name, fwd, peak_rate, act_bytes in paths(model, params, scales):
+        fps = measure(fwd, params, base)
+        a = analysis.get(name, {})
+        flops_pf = a.get("flops_pf", 0.0)
+        min_bytes_pf = min_hbm_bytes_per_frame(act_bytes)
+        tflops = fps * flops_pf / 1e12
+        min_gbps = fps * min_bytes_pf / 1e9
+        row = {
+            "path": name,
+            "fps": round(fps, 1),
+            "gflops_per_frame": round(flops_pf / 1e9, 2),
+            "min_hbm_mb_per_frame": round(min_bytes_pf / 1e6, 2),
+            "achieved_tflops": round(tflops, 1),
+            "min_hbm_gbps": round(min_gbps, 1),
+            "mxu_util_pct": round(100 * tflops / peak_rate, 1),
+            "min_hbm_util_pct": round(100 * min_gbps / PEAK_HBM_GBPS, 1),
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    print("\n| path | fps | GFLOP/frame | min HBM MB/frame | "
+          "TFLOP(TOP)/s | min HBM GB/s | MXU util | min HBM util |",
+          file=sys.stderr)
+    print("|---|---|---|---|---|---|---|---|", file=sys.stderr)
+    for r in rows:
+        print(f"| {r['path']} | {r['fps']:,.0f} | {r['gflops_per_frame']} | "
+              f"{r['min_hbm_mb_per_frame']} | {r['achieved_tflops']} | "
+              f"{r['min_hbm_gbps']} | {r['mxu_util_pct']}% | "
+              f"{r['min_hbm_util_pct']}% |", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
