@@ -75,9 +75,10 @@ class ImportedModel:
     """A converted checkpoint: flax params + how to rebuild its model."""
 
     params: dict
-    model_kind: str  # "basic_cnn" | "vit"
+    model_kind: str  # "basic_cnn" | "vit" | "multicam" | "disentangled"
     arch_flavor: str  # "torch" | "tf"
     arch_kwargs: dict[str, Any]
+    batch_stats: dict | None = None  # BN running stats (disentangled)
 
     def build_model(self, dtype=None):
         """Instantiate the flax module these params belong to."""
@@ -97,6 +98,14 @@ class ImportedModel:
             from .models.vit import ViTPoseNet
 
             return ViTPoseNet(flavor=self.arch_flavor, **kw)
+        if self.model_kind == "multicam":
+            from .models.multicam import MultiCamNet
+
+            return MultiCamNet(flavor=self.arch_flavor, **kw)
+        if self.model_kind == "disentangled":
+            from .models.disentangled import FourCamDisentangled
+
+            return FourCamDisentangled(flavor=self.arch_flavor, **kw)
         raise ValueError(f"unknown model kind {self.model_kind!r}")
 
 
@@ -152,18 +161,7 @@ def _import_torch_basicnet(sd: dict[str, np.ndarray]) -> ImportedModel:
     """Reference BasicNet (pytorch/CNNs.py:160-186): ``encoder.conv{1..9}``
     + ``decoder.conv2dTranspose{1..4}`` (bn* constructed but bypassed in the
     active forward — pytorch/CNNs.py:75-88 — so deliberately dropped)."""
-    enc = {}
-    for i in range(1, 10):
-        enc[f"conv{i}"] = {
-            "kernel": _t_conv(sd[f"encoder.conv{i}.weight"]),
-            "bias": sd[f"encoder.conv{i}.bias"],
-        }
-    dec = {}
-    for i in range(1, 5):
-        dec[f"deconv{i}"] = {
-            "kernel": _t_deconv(sd[f"decoder.conv2dTranspose{i}.weight"]),
-            "bias": sd[f"decoder.conv2dTranspose{i}.bias"],
-        }
+    enc, dec = _enc_dec_trees(sd, "encoder", "decoder")
     w1 = sd["encoder.conv1.weight"]  # (filters, in_ch, k, k)
     out_ch = sd["decoder.conv2dTranspose4.weight"].shape[1]
     # dilation is not recoverable from shapes; the reference always runs
@@ -298,6 +296,92 @@ def _import_torch_vit(
                          arch_flavor="torch", arch_kwargs=arch)
 
 
+def _enc_dec_trees(sd: dict[str, np.ndarray], enc_prefix: str,
+                   dec_prefix: str) -> tuple[dict, dict]:
+    enc = {
+        f"conv{i}": {
+            "kernel": _t_conv(sd[f"{enc_prefix}.conv{i}.weight"]),
+            "bias": sd[f"{enc_prefix}.conv{i}.bias"],
+        }
+        for i in range(1, 10)
+    }
+    dec = {
+        f"deconv{i}": {
+            "kernel": _t_deconv(sd[f"{dec_prefix}.conv2dTranspose{i}.weight"]),
+            "bias": sd[f"{dec_prefix}.conv2dTranspose{i}.bias"],
+        }
+        for i in range(1, 5)
+    }
+    return enc, dec
+
+
+def _import_torch_multicam(sd: dict[str, np.ndarray]) -> ImportedModel:
+    """Reference FourCamerasBaseLine (pytorch/CNNs.py:189-237):
+    ``shared_encoder.conv1-9`` + ``shared_conv2d`` (1x1 fused latent) +
+    ``shared_decoder.conv2dTranspose1-4``."""
+    enc, dec = _enc_dec_trees(sd, "shared_encoder", "shared_decoder")
+    params = {
+        "shared_encoder": enc,
+        "shared_decoder": dec,
+        "fusion_conv": {
+            "kernel": _t_conv(sd["shared_conv2d.weight"]),
+            "bias": sd["shared_conv2d.bias"],
+        },
+    }
+    w1 = sd["shared_encoder.conv1.weight"]
+    out_per_view = sd["shared_decoder.conv2dTranspose4.weight"].shape[1]
+    arch = dict(
+        out_channels=int(4 * out_per_view), num_cams=4,
+        filters=int(w1.shape[0]), kernel_size=int(w1.shape[2]), dilation=2,
+        in_channels=int(4 * w1.shape[1]),
+    )
+    return ImportedModel(params=params, model_kind="multicam",
+                         arch_flavor="torch", arch_kwargs=arch)
+
+
+def _import_torch_disentangled(sd: dict[str, np.ndarray]) -> ImportedModel:
+    """Reference FourCamerasDisentanglement (pytorch/CNNs.py:240-324):
+    shared encoder/decoder + 1x1 rearrange/fusion convs + the three
+    ACTIVE BatchNorms (running stats imported as flax batch_stats). The
+    reference's raw-memory FTL reshape is reproduced by building the
+    model with ``ref_ftl_layout=True`` (models/disentangled.py)."""
+    enc, dec = _enc_dec_trees(sd, "shared_encoder", "shared_decoder")
+    params = {
+        "shared_encoder": enc,
+        "shared_decoder": dec,
+        "rearrange1": {"kernel": _t_conv(sd["rearrange_layer_1.weight"]),
+                       "bias": sd["rearrange_layer_1.bias"]},
+        "rearrange2": {"kernel": _t_conv(sd["rearrange_layer_2.weight"]),
+                       "bias": sd["rearrange_layer_2.bias"]},
+        "fusion1": {"kernel": _t_conv(sd["fusion_layer_1.weight"]),
+                    "bias": sd["fusion_layer_1.bias"]},
+        "fusion2": {"kernel": _t_conv(sd["fusion_layer_2.weight"]),
+                    "bias": sd["fusion_layer_2.bias"]},
+    }
+    batch_stats = {}
+    for i in (1, 2, 3):
+        params[f"bn{i}"] = {
+            "scale": sd[f"batch_norm{i}.weight"],
+            "bias": sd[f"batch_norm{i}.bias"],
+        }
+        batch_stats[f"bn{i}"] = {
+            "mean": sd[f"batch_norm{i}.running_mean"],
+            "var": sd[f"batch_norm{i}.running_var"],
+        }
+    w1 = sd["shared_encoder.conv1.weight"]
+    out_per_view = sd["shared_decoder.conv2dTranspose4.weight"].shape[1]
+    arch = dict(
+        out_channels=int(4 * out_per_view),
+        filters=int(w1.shape[0]), kernel_size=int(w1.shape[2]), dilation=2,
+        latent_3d_channels=int(sd["rearrange_layer_1.weight"].shape[0]),
+        ref_ftl_layout=True,  # pytorch/CNNs.py:335, 348 raw reshape
+        in_channels=int(4 * w1.shape[1]),
+    )
+    return ImportedModel(params=params, model_kind="disentangled",
+                         arch_flavor="torch", arch_kwargs=arch,
+                         batch_stats=batch_stats)
+
+
 def import_torch_checkpoint(path: str) -> ImportedModel:
     """Import a reference torch checkpoint (TorchScript ``best_model.pth``,
     ``checkpoint.pth`` dict, raw ``state_dict`` save, or the
@@ -305,11 +389,17 @@ def import_torch_checkpoint(path: str) -> ImportedModel:
     sd = _load_torch_state_dict(path)
     if any(k.startswith("vit_encoder.") for k in sd):
         return _import_torch_vit(sd)
+    if "rearrange_layer_1.weight" in sd:
+        return _import_torch_disentangled(sd)
+    if "shared_conv2d.weight" in sd:
+        return _import_torch_multicam(sd)
     if any(k.startswith("encoder.conv") for k in sd):
         return _import_torch_basicnet(sd)
     raise ValueError(
         "unrecognised torch state dict — expected reference BasicNet "
-        "(encoder.conv*) or VIT_encoder_CNN_decoder (vit_encoder.*) keys; "
+        "(encoder.conv*), FourCamerasBaseLine (shared_conv2d.*), "
+        "FourCamerasDisentanglement (rearrange_layer_*), or "
+        "VIT_encoder_CNN_decoder (vit_encoder.*) keys; "
         f"got {sorted(sd)[:8]} ..."
     )
 
@@ -356,6 +446,162 @@ def _keras_weight_list(path: str) -> list[tuple[str, np.ndarray]]:
     return out
 
 
+def import_keras_vit(weights: list[tuple[str, np.ndarray]]) -> ImportedModel:
+    """Import the reference TF ViT (tensorflow/vitPose.py:100-130).
+
+    Structure: Dense patch embedding over (ph, pw, c)-flattened
+    ``extract_patches`` output (same order as the rebuild's strided-conv
+    kernel), Embedding positional table, N transformer layers of
+    [keras MultiHeadAttention (biased q/k/v), LayerNorm, Dense(relu),
+    Dense, LayerNorm] (post-LN), and 4 channel-halving Conv2DTranspose
+    decoders with LeakyReLU(0.1). Matching is shape- and name-suffix
+    driven (keras auto-names layers, but MHA sub-weights keep their
+    ``query/key/value/attention_output`` suffixes)."""
+
+    def sub(name):
+        return name.rsplit("/", 1)[0]
+
+    by_layer: dict[str, dict[str, np.ndarray]] = {}
+    order: list[str] = []
+    for name, w in weights:
+        lay = sub(name)
+        if lay not in by_layer:
+            by_layer[lay] = {}
+            order.append(lay)
+        by_layer[lay][name.rsplit("/", 1)[1]] = w
+
+    def mha_part(lay):
+        low = lay.lower()
+        for part, tag in (("o", "attention_output"), ("q", "query"),
+                          ("k", "key"), ("v", "value")):
+            if tag in low:
+                return part
+        return None
+
+    mha_groups: dict[str, dict[str, tuple]] = {}
+    mha_order: list[str] = []
+    dense2d: list[tuple[str, np.ndarray, np.ndarray]] = []
+    ln_pairs: list[tuple[np.ndarray, np.ndarray]] = []
+    deconvs: list[tuple[np.ndarray, np.ndarray]] = []
+    pos = None
+
+    for lay in order:
+        ws = by_layer[lay]
+        kern = ws.get("kernel:0")
+        part = mha_part(lay)
+        if part is not None and kern is not None:
+            grp_key = lay.rsplit("/", 1)[0] if "/" in lay else lay
+            if grp_key not in mha_groups:
+                mha_groups[grp_key] = {}
+                mha_order.append(grp_key)
+            mha_groups[grp_key][part] = (kern, ws.get("bias:0"))
+        elif kern is not None and kern.ndim == 4:
+            bias = ws.get("bias:0")
+            if bias is None:
+                bias = np.zeros((kern.shape[2],), np.float32)
+            deconvs.append((kern, bias))
+        elif kern is not None and kern.ndim == 2:
+            bias = ws.get("bias:0")
+            dense2d.append((lay, kern, bias))
+        elif "gamma:0" in ws:
+            ln_pairs.append((ws["gamma:0"],
+                             ws.get("beta:0",
+                                    np.zeros_like(ws["gamma:0"]))))
+        elif "embeddings:0" in ws:
+            pos = ws["embeddings:0"]
+
+    if pos is None:
+        # Embedding tables may also save as a bias-free 2-D "kernel"
+        for i, (lay, kern, bias) in enumerate(dense2d):
+            if bias is None:
+                pos = kern
+                del dense2d[i]
+                break
+    if pos is None or not mha_groups:
+        raise ValueError("keras ViT layout not recognised")
+
+    embed_lay, embed_w, embed_b = dense2d[0]
+    dim = embed_w.shape[1]
+    patch_dim = embed_w.shape[0]
+    in_ch = 4  # vitPose.py:106 num_input_channels
+    p = int(round((patch_dim / in_ch) ** 0.5))
+    assert in_ch * p * p == patch_dim, patch_dim
+
+    depth = len(mha_order)
+    ffs = dense2d[1:]
+    if len(ffs) != 2 * depth or len(ln_pairs) != 2 * depth:
+        raise ValueError(
+            f"keras ViT: {depth} MHA layers but {len(ffs)} FFN denses / "
+            f"{len(ln_pairs)} LayerNorms"
+        )
+    if len(deconvs) != 4:
+        raise ValueError(f"keras ViT: expected 4 decoder deconvs, "
+                         f"got {len(deconvs)}")
+
+    q0 = mha_groups[mha_order[0]]["q"][0]  # (dim, H, Dh)
+    heads, dim_head = int(q0.shape[1]), int(q0.shape[2])
+    inner = heads * dim_head
+
+    transformer: dict[str, Any] = {}
+    for i, key in enumerate(mha_order):
+        grp = mha_groups[key]
+        # fused qkv in the rebuild's (3, H, Dh) output layout
+        qkv_kernel = np.concatenate(
+            [grp[p_][0].reshape(dim, inner) for p_ in ("q", "k", "v")],
+            axis=1,
+        )
+        qkv_bias = np.concatenate([
+            (grp[p_][1] if grp[p_][1] is not None
+             else np.zeros((heads, dim_head), np.float32)).reshape(-1)
+            for p_ in ("q", "k", "v")
+        ])
+        o_w, o_b = grp["o"]  # (H, Dh, dim)
+        transformer[f"attn{i}"] = {
+            "to_qkv": {"kernel": np.ascontiguousarray(qkv_kernel),
+                       "bias": qkv_bias.astype(np.float32)},
+            "to_out": {"kernel": np.ascontiguousarray(
+                           o_w.reshape(inner, dim)),
+                       "bias": (o_b if o_b is not None
+                                else np.zeros((dim,), np.float32))},
+        }
+        for half, (g, b) in (("a", ln_pairs[2 * i]),
+                             ("b", ln_pairs[2 * i + 1])):
+            transformer[f"postnorm{i}{half}"] = {"scale": g, "bias": b}
+        (l1, k1, b1), (l2, k2, b2) = ffs[2 * i], ffs[2 * i + 1]
+        transformer[f"ff{i}"] = {
+            "fc1": {"kernel": np.ascontiguousarray(k1),
+                    "bias": b1 if b1 is not None
+                    else np.zeros((k1.shape[1],), np.float32)},
+            "fc2": {"kernel": np.ascontiguousarray(k2),
+                    "bias": b2 if b2 is not None
+                    else np.zeros((k2.shape[1],), np.float32)},
+        }
+
+    patch_embed = {
+        "proj": {"kernel": np.ascontiguousarray(
+                     embed_w.reshape(p, p, in_ch, dim)),
+                 "bias": embed_b if embed_b is not None
+                 else np.zeros((dim,), np.float32)},
+        "pos_embedding": np.ascontiguousarray(pos[None]),  # (1, N, dim)
+    }
+    decoder = {}
+    for i, (kern, bias) in enumerate(deconvs, start=1):
+        decoder[f"deconv{i}"] = {"kernel": _k_deconv(kern), "bias": bias}
+    out_ch = deconvs[-1][0].shape[2]
+    mlp_hidden = ffs[0][1].shape[1]
+    arch = dict(
+        out_channels=int(out_ch), patch_size=p, dim=int(dim),
+        depth=depth, heads=heads, dim_head=dim_head,
+        mlp_expand=int(round(mlp_hidden / dim)),
+        kernel_size=int(deconvs[0][0].shape[0]), in_channels=in_ch,
+    )
+    return ImportedModel(
+        params={"patch_embed": patch_embed, "transformer": transformer,
+                "decoder": decoder},
+        model_kind="vit", arch_flavor="tf", arch_kwargs=arch,
+    )
+
+
 def import_keras_h5(path: str) -> ImportedModel:
     """Import a reference keras ``.h5`` CNN save (basic_nn family,
     tensorflow/Network.py:127-145 + 416-474).
@@ -368,6 +614,9 @@ def import_keras_h5(path: str) -> ImportedModel:
     validated shape-by-shape against that structure.
     """
     weights = _keras_weight_list(path)
+    if any(w.ndim == 3 or "attention" in n.lower() for n, w in weights):
+        # transformer weights present: the TF ViT save (vitPose.py)
+        return import_keras_vit(weights)
     # conv-ish weights only: rank-4 kernels with their rank-1 biases
     kernels = [(n, w) for n, w in weights if w.ndim == 4]
     biases = {n.rsplit("/", 1)[0]: w for n, w in weights if w.ndim == 1}

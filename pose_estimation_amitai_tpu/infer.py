@@ -365,6 +365,11 @@ class Predictor:
                 )
             model = imported.build_model(dtype=jnp.bfloat16)
             params = jax.tree_util.tree_map(jnp.asarray, imported.params)
+            if imported.batch_stats:
+                kw.setdefault(
+                    "batch_stats",
+                    jax.tree_util.tree_map(jnp.asarray, imported.batch_stats),
+                )
             return cls(
                 cfg, params, image_shape,
                 imported.arch_kwargs["out_channels"], model=model, **kw,

@@ -47,6 +47,14 @@ class FourCamDisentangled(nn.Module):
     flavor: str = "torch"
     latent_3d_channels: int = 300  # 100 groups of (x, y, z) — CNNs.py:258-261
     dtype: Dtype = jnp.bfloat16
+    # Checkpoint-fidelity switch: the reference's FTL/InvFTL "reshape" the
+    # NCHW latent raw (torch.reshape (B, C, h, w) -> (B, h, w, C/3, 3, 1),
+    # pytorch/CNNs.py:335+348) — a memory reinterpret that SCRAMBLES
+    # channel and spatial axes rather than grouping channels. New training
+    # uses the sane per-pixel channel grouping (default); imported
+    # reference checkpoints were trained against the scrambled layout and
+    # only reproduce their outputs with ``ref_ftl_layout=True``.
+    ref_ftl_layout: bool = False
 
     @nn.compact
     def __call__(
@@ -75,10 +83,29 @@ class FourCamDisentangled(nn.Module):
         rearrange2 = conv1x1(enc_ch, "rearrange2")
         canon_ch = self.latent_3d_channels // 3 * 4  # 400
 
+        if self.ref_ftl_layout:
+            # reference raw-memory reinterpret (pytorch/CNNs.py:335, 348):
+            # NCHW (B, C, h, w) cast to (B, h, w, C/3, 3) — general in h/w
+            def ftl_inv(t, P_inv):
+                b, h, w, c = t.shape
+                z = jnp.transpose(t, (0, 3, 1, 2)).reshape(b, h, w, c // 3, 3)
+                out = jnp.einsum("bhwgj,bij->bhwgi", z, P_inv)
+                out = out.reshape(b, 4 * c // 3, h, w)
+                return jnp.transpose(out, (0, 2, 3, 1))
+
+            def ftl_proj(t, P):
+                b, h, w, c = t.shape
+                z = jnp.transpose(t, (0, 3, 1, 2)).reshape(b, h, w, c // 4, 4)
+                out = jnp.einsum("bhwgj,bij->bhwgi", z, P)
+                out = out.reshape(b, 3 * c // 4, h, w)
+                return jnp.transpose(out, (0, 2, 3, 1))
+        else:
+            ftl_inv, ftl_proj = ftl_inverse, ftl_project
+
         first_encs = [encoder(v, train=train) for v in views]
         # Per-view latent -> canonical space through pinv(P_i).
         canonical = [
-            ftl_inverse(
+            ftl_inv(
                 rearrange1(first_encs[i]).astype(jnp.float32),
                 camera_matrices_inv[:, i],
             ).astype(self.dtype)
@@ -101,7 +128,7 @@ class FourCamDisentangled(nn.Module):
         )
         outs = []
         for i in range(num_cams):
-            ent = ftl_project(fusion.astype(jnp.float32), camera_matrices[:, i])
+            ent = ftl_proj(fusion.astype(jnp.float32), camera_matrices[:, i])
             ent = nn.relu(bn3(ent))
             ent = rearrange2(ent.astype(self.dtype))
             outs.append(decoder(ent + first_encs[i]))

@@ -475,3 +475,301 @@ def test_cli_import_subcommand_roundtrip(tmp_path):
         for k, v in imported.params[tree].items():
             np.testing.assert_array_equal(
                 restored[tree][k]["kernel"], v["kernel"])
+
+
+# ---------------------------------------------------------------------------
+# torch 4-camera replicas
+# ---------------------------------------------------------------------------
+class _RefFourCams(nn.Module):
+    """FourCamerasBaseLine semantics (pytorch/CNNs.py:189-237)."""
+
+    def __init__(self, cin_per_view, cout, f=8):
+        super().__init__()
+        self.shared_encoder = _RefEncoder(cin_per_view, f)
+        self.shared_conv2d = nn.Conv2d(16 * f, 16 * f, 1, padding=0)
+        self.shared_decoder = _RefDecoder(20 * f, cout // 4)
+        self.cpv = cin_per_view
+
+    def forward(self, x):
+        views = torch.split(x, self.cpv, dim=1)
+        encs = [self.shared_encoder(v) for v in views]
+        merged = torch.cat(encs, dim=1)
+        merged = self.shared_conv2d(merged) + merged
+        outs = [self.shared_decoder(torch.cat([e, merged], dim=1))
+                for e in encs]
+        return torch.cat(outs, dim=1)
+
+
+class _RefDisentangled(nn.Module):
+    """FourCamerasDisentanglement semantics incl. the raw-memory FTL
+    reshapes and active BatchNorms (pytorch/CNNs.py:240-352)."""
+
+    def __init__(self, cin_per_view, cout, f=8, latent=30):
+        super().__init__()
+        self.shared_encoder = _RefEncoder(cin_per_view, f)
+        ec = 4 * f
+        canon = latent // 3 * 4
+        self.rearrange_layer_1 = nn.Conv2d(ec, latent, 1, padding=0)
+        self.fusion_layer_1 = nn.Conv2d(4 * canon, canon, 1, padding=0)
+        self.fusion_layer_2 = nn.Conv2d(canon, canon, 1, padding=0)
+        self.batch_norm1 = nn.BatchNorm2d(canon)
+        self.batch_norm2 = nn.BatchNorm2d(canon)
+        self.batch_norm3 = nn.BatchNorm2d(latent)
+        self.rearrange_layer_2 = nn.Conv2d(latent, ec, 1, padding=0)
+        self.shared_decoder = _RefDecoder(ec, cout // 4)
+        self.relu = nn.ReLU()
+        self.cpv = cin_per_view
+
+    @staticmethod
+    def _inv_ftl(x, P_inv):
+        b, c, h, w = x.shape
+        z = torch.reshape(x, (b, h, w, c // 3, 3, 1))
+        out = torch.reshape(P_inv, (b, 1, 1, 1, 4, 3)) @ z
+        return torch.reshape(out, (b, 4 * c // 3, h, w))
+
+    @staticmethod
+    def _ftl(x, P):
+        b, c, h, w = x.shape
+        z = torch.reshape(x, (b, h, w, c // 4, 4, 1))
+        out = torch.reshape(P, (b, 1, 1, 1, 3, 4)) @ z
+        return torch.reshape(out, (b, 3 * c // 4, h, w))
+
+    def forward(self, x, P, P_inv):
+        views = torch.split(x, self.cpv, dim=1)
+        firsts = [self.shared_encoder(v) for v in views]
+        encs = [self.rearrange_layer_1(e) for e in firsts]
+        canon = [self._inv_ftl(encs[i], P_inv[:, i]) for i in range(4)]
+        fusion = torch.cat(canon, dim=1)
+        fusion = self.relu(self.batch_norm1(self.fusion_layer_1(fusion)))
+        fusion = self.relu(self.batch_norm2(self.fusion_layer_2(fusion)))
+        outs = []
+        for i in range(4):
+            ent = self.relu(self.batch_norm3(self._ftl(fusion, P[:, i])))
+            ent = self.rearrange_layer_2(ent)
+            outs.append(self.shared_decoder(ent + firsts[i]))
+        return torch.cat(outs, dim=1)
+
+
+@pytest.mark.quick
+def test_torch_multicam_checkpoint_roundtrip(tmp_path):
+    torch.manual_seed(5)
+    net = _RefFourCams(4, 8).eval()
+    x = torch.rand(2, 16, 48, 48)
+    with torch.no_grad():
+        ref = net(x).numpy()
+    path = str(tmp_path / "four_cams.pth")
+    torch.save({"model_state_dict": net.state_dict()}, path)
+    imported = import_torch_checkpoint(path)
+    assert imported.model_kind == "multicam"
+    assert imported.arch_kwargs["out_channels"] == 8
+    got = _apply_flax(imported, x.numpy())
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(_peaks(got), _peaks(ref))
+
+
+@pytest.mark.quick
+def test_torch_disentangled_checkpoint_roundtrip(tmp_path):
+    torch.manual_seed(6)
+    net = _RefDisentangled(4, 8)
+    # non-trivial BN running stats (a trained checkpoint's would be)
+    with torch.no_grad():
+        for bn in (net.batch_norm1, net.batch_norm2, net.batch_norm3):
+            bn.running_mean.uniform_(-0.2, 0.2)
+            bn.running_var.uniform_(0.5, 1.5)
+    net = net.eval()
+    x = torch.rand(2, 16, 48, 48)
+    P = torch.rand(2, 4, 3, 4) * 0.5
+    P_inv = torch.linalg.pinv(P)
+    with torch.no_grad():
+        ref = net(x, P, P_inv).numpy()
+
+    path = str(tmp_path / "disentangled.pth")
+    torch.save({"model_state_dict": net.state_dict()}, path)
+    imported = import_torch_checkpoint(path)
+    assert imported.model_kind == "disentangled"
+    assert imported.arch_kwargs["ref_ftl_layout"] is True
+    assert imported.arch_kwargs["latent_3d_channels"] == 30
+    assert imported.batch_stats is not None
+
+    model = imported.build_model(dtype=jnp.float32)
+    variables = {
+        "params": jax.tree_util.tree_map(jnp.asarray, imported.params),
+        "batch_stats": jax.tree_util.tree_map(jnp.asarray,
+                                              imported.batch_stats),
+    }
+    xj = jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1)))
+    out = model.apply(variables, xj, jnp.asarray(P.numpy()),
+                      jnp.asarray(P_inv.numpy()), train=False)
+    got = np.transpose(np.asarray(out), (0, 3, 1, 2))
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
+    np.testing.assert_array_equal(_peaks(got), _peaks(ref))
+
+
+# ---------------------------------------------------------------------------
+# keras TF ViT (vitPose.py) — h5 in keras layout, pure-jax keras oracle
+# ---------------------------------------------------------------------------
+def _write_keras_vit_h5(path, embed, pos, blocks, deconvs):
+    """keras model_weights layout for vision_transformer: Dense embed,
+    Embedding positions, per block [MultiHeadAttention(q/k/v/o), LN,
+    Dense, Dense, LN], then 4 Conv2DTranspose."""
+    import h5py
+
+    with h5py.File(path, "w") as f:
+        mw = f.create_group("model_weights")
+        names = [b"patch_extraction_layer", b"dense"]
+        g = mw.create_group("patch_extraction_layer")
+        g.attrs["weight_names"] = []
+
+        def put(gname, items):
+            grp = mw.create_group(gname)
+            wn = []
+            for relname, arr in items:
+                grp.create_dataset(relname, data=arr)
+                wn.append(relname.encode())
+            grp.attrs["weight_names"] = wn
+
+        put("dense", [("dense/kernel:0", embed[0]),
+                      ("dense/bias:0", embed[1])])
+        names.append(b"embedding")
+        put("embedding", [("embedding/embeddings:0", pos)])
+        di = 1
+        for bi, blk in enumerate(blocks):
+            mha_name = f"multi_head_attention_{bi}" if bi else "multi_head_attention"
+            names.append(mha_name.encode())
+            put(mha_name, [
+                (f"{mha_name}/query/kernel:0", blk["q"][0]),
+                (f"{mha_name}/query/bias:0", blk["q"][1]),
+                (f"{mha_name}/key/kernel:0", blk["k"][0]),
+                (f"{mha_name}/key/bias:0", blk["k"][1]),
+                (f"{mha_name}/value/kernel:0", blk["v"][0]),
+                (f"{mha_name}/value/bias:0", blk["v"][1]),
+                (f"{mha_name}/attention_output/kernel:0", blk["o"][0]),
+                (f"{mha_name}/attention_output/bias:0", blk["o"][1]),
+            ])
+            ln1 = f"layer_normalization_{2 * bi}" if bi else "layer_normalization"
+            names.append(ln1.encode())
+            put(ln1, [(f"{ln1}/gamma:0", blk["ln1"][0]),
+                      (f"{ln1}/beta:0", blk["ln1"][1])])
+            for fc in ("fc1", "fc2"):
+                dn = f"dense_{di}"
+                di += 1
+                names.append(dn.encode())
+                put(dn, [(f"{dn}/kernel:0", blk[fc][0]),
+                         (f"{dn}/bias:0", blk[fc][1])])
+            ln2 = f"layer_normalization_{2 * bi + 1}"
+            names.append(ln2.encode())
+            put(ln2, [(f"{ln2}/gamma:0", blk["ln2"][0]),
+                      (f"{ln2}/beta:0", blk["ln2"][1])])
+        for i, (kern, bias) in enumerate(deconvs):
+            cn = f"conv2d_transpose_{i}" if i else "conv2d_transpose"
+            names.append(cn.encode())
+            put(cn, [(f"{cn}/kernel:0", kern), (f"{cn}/bias:0", bias)])
+        mw.attrs["layer_names"] = names
+
+
+def _keras_vit_oracle(x, embed, pos, blocks, deconvs, p):
+    """keras-semantics forward of vitPose.vision_transformer in raw lax:
+    extract_patches (ph, pw, c order), Dense embed, +pos, post-LN blocks
+    with keras MHA (biased, scaled by key_dim^-0.5, eps=1e-6 LNs), relu
+    FFN, then 4 stride-2 SAME conv2d_transpose (gradient-of-conv) with
+    LeakyReLU(0.1)."""
+    b, h, w, c = x.shape
+    g = h // p
+    # extract_patches: (B, gh, gw, ph*pw*c) with (ph, pw, c) flattening
+    xt = jnp.asarray(x).reshape(b, g, p, g, p, c)
+    patches = jnp.transpose(xt, (0, 1, 3, 2, 4, 5)).reshape(
+        b, g * g, p * p * c
+    )
+    t = patches @ embed[0] + embed[1]
+    t = t + pos[None]
+
+    def ln(v, gamma, beta):
+        mu = v.mean(-1, keepdims=True)
+        var = ((v - mu) ** 2).mean(-1, keepdims=True)
+        return (v - mu) / jnp.sqrt(var + 1e-6) * gamma + beta
+
+    for blk in blocks:
+        qk, qb = blk["q"]
+        kk, kb = blk["k"]
+        vk, vb = blk["v"]
+        ok, ob = blk["o"]
+        q = jnp.einsum("bnd,dhe->bnhe", t, qk) + qb
+        k = jnp.einsum("bnd,dhe->bnhe", t, kk) + kb
+        v = jnp.einsum("bnd,dhe->bnhe", t, vk) + vb
+        scale = qk.shape[-1] ** -0.5
+        logits = jnp.einsum("bnhe,bmhe->bhnm", q, k) * scale
+        attn = jax.nn.softmax(logits, axis=-1)
+        o = jnp.einsum("bhnm,bmhe->bnhe", attn, v)
+        o = jnp.einsum("bnhe,hed->bnd", o, ok) + ob
+        t = ln(t + o, *blk["ln1"])
+        f1 = jax.nn.relu(t @ blk["fc1"][0] + blk["fc1"][1])
+        f2 = f1 @ blk["fc2"][0] + blk["fc2"][1]
+        t = ln(t + f2, *blk["ln2"])
+
+    y = t.reshape(b, g, g, t.shape[-1])
+
+    def tf_deconv(v, kern, bias):
+        bb, hh, ww, _ = v.shape
+        cout = kern.shape[2]
+        x0 = jnp.zeros((bb, hh * 2, ww * 2, cout))
+        _, vjp = jax.vjp(
+            lambda s: lax.conv_general_dilated(
+                s, jnp.asarray(kern), (2, 2), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC")), x0)
+        return vjp(v)[0] + bias
+
+    for kern, bias in deconvs:
+        y = tf_deconv(y, kern, bias)
+        y = jnp.where(y > 0, y, 0.1 * y)  # LeakyReLU(0.1), vitPose.py:89-96
+    return np.asarray(y)
+
+
+@pytest.mark.quick
+def test_keras_vit_h5_roundtrip(tmp_path):
+    rng = np.random.default_rng(7)
+    p, dim, heads, dim_head, depth, cout, cin = 16, 24, 2, 24, 2, 5, 4
+    hw = 48
+    n = (hw // p) ** 2
+    inner = heads * dim_head
+
+    def W(*shape, s=0.1):
+        return rng.normal(0, s, shape).astype(np.float32)
+
+    embed = (W(p * p * cin, dim), W(dim))
+    pos = W(n, dim)
+    blocks = []
+    for _ in range(depth):
+        blocks.append({
+            "q": (W(dim, heads, dim_head), W(heads, dim_head)),
+            "k": (W(dim, heads, dim_head), W(heads, dim_head)),
+            "v": (W(dim, heads, dim_head), W(heads, dim_head)),
+            "o": (W(heads, dim_head, dim), W(dim)),
+            "ln1": (1.0 + W(dim), W(dim)),
+            "ln2": (1.0 + W(dim), W(dim)),
+            "fc1": (W(dim, 4 * dim), W(4 * dim)),
+            "fc2": (W(4 * dim, dim), W(dim)),
+        })
+    widths = [dim // 2, dim // 4, dim // 8, cout]
+    deconvs = []
+    c = dim
+    for wd in widths:
+        deconvs.append((W(3, 3, wd, c), W(wd)))
+        c = wd
+
+    path = str(tmp_path / "vit_model.h5")
+    _write_keras_vit_h5(path, embed, pos, blocks, deconvs)
+
+    imported = import_reference_checkpoint(path)
+    assert imported.model_kind == "vit"
+    assert imported.arch_flavor == "tf"
+    assert imported.arch_kwargs["patch_size"] == p
+    assert imported.arch_kwargs["depth"] == depth
+    assert imported.arch_kwargs["dim_head"] == dim_head
+
+    x = rng.random((2, hw, hw, cin)).astype(np.float32)
+    ref = _keras_vit_oracle(x, embed, pos, blocks, deconvs, p)
+    model = imported.build_model(dtype=jnp.float32)
+    got = np.asarray(model.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, imported.params)},
+        jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
