@@ -270,7 +270,20 @@ class Trainer:
         if cfg.pretrained_encoder_path:
             enc_key = "encoder" if "encoder" in params else None
             if enc_key:
-                loaded_all = ckpt.load_params(cfg.pretrained_encoder_path)
+                from ..importers import is_reference_checkpoint
+
+                if is_reference_checkpoint(cfg.pretrained_encoder_path):
+                    # reference self-supervision weights (raw BasicNet
+                    # state_dict / checkpoint.pth — the PretrainedLEAP
+                    # re-heading flow, NNs warehouse/NNs.py:38-62):
+                    # convert on the fly and take the encoder subtree
+                    from ..importers import import_reference_checkpoint
+
+                    loaded_all = import_reference_checkpoint(
+                        cfg.pretrained_encoder_path
+                    ).params
+                else:
+                    loaded_all = ckpt.load_params(cfg.pretrained_encoder_path)
                 src = loaded_all.get("encoder", loaded_all)
                 params = dict(params)
                 params[enc_key] = jax.tree_util.tree_map(

@@ -773,3 +773,34 @@ def test_keras_vit_h5_roundtrip(tmp_path):
         {"params": jax.tree_util.tree_map(jnp.asarray, imported.params)},
         jnp.asarray(x), train=False))
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.quick
+def test_finetune_from_reference_selfsup_checkpoint(tmp_path):
+    """pretrained_encoder_path accepts a REFERENCE torch checkpoint (the
+    pre_trained_leap.pth re-heading flow, NNs warehouse/NNs.py:38-62):
+    the encoder subtree is converted and loaded, the decoder stays fresh."""
+    from pose_estimation_amitai_tpu.config import Config
+    from pose_estimation_amitai_tpu.data.synthetic import make_synthetic_arrays
+    from pose_estimation_amitai_tpu.train.trainer import Trainer
+
+    torch.manual_seed(8)
+    net = _RefBasicNet(4, 4).eval()  # selfsup autoencoder: 4 -> 4 channels
+    ckpt = str(tmp_path / "pre_trained_leap.pth")
+    torch.save(net.state_dict(), ckpt)  # raw state_dict save
+
+    arrays = make_synthetic_arrays(num_frames=4, num_points=8, image_size=48)
+    cfg = Config(
+        epochs=1, batch_size=4, batches_per_epoch=1, num_base_filters=8,
+        base_output_path=str(tmp_path), do_augmentations=False, seed=0,
+        pretrained_encoder_path=ckpt, val_fraction=0.5,
+    )
+    trainer = Trainer(cfg, arrays=arrays)
+    imported = import_torch_checkpoint(ckpt)
+    got = trainer.state.params["encoder"]["conv1"]["kernel"]
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32),
+        imported.params["encoder"]["conv1"]["kernel"], rtol=1e-6, atol=1e-6,
+    )
+    history = trainer.train()
+    assert np.isfinite(history["train_loss"][0])
