@@ -804,3 +804,33 @@ def test_finetune_from_reference_selfsup_checkpoint(tmp_path):
     )
     history = trainer.train()
     assert np.isfinite(history["train_loss"][0])
+
+
+def test_imported_checkpoint_serves_quantized_with_peak_parity(tmp_path):
+    """Capstone interop check: an imported reference checkpoint rides the
+    hand-scheduled int8-resident serving path and its decoded peaks match
+    the torch float forward (the reference's own serving semantics)."""
+    from pose_estimation_amitai_tpu.config import Config
+    from pose_estimation_amitai_tpu.infer import Predictor
+
+    torch.manual_seed(9)
+    net = _RefBasicNet(4, 6, f=16).eval()
+    x = torch.rand(8, 4, 48, 48)
+    with torch.no_grad():
+        ref_maps = net(x).numpy()
+    ref_pk = _peaks(ref_maps)  # (N, C, 2) [y, x]
+
+    ckpt = str(tmp_path / "best_model.pth")
+    torch.jit.script(net).save(ckpt)
+
+    frames = np.transpose(x.numpy(), (0, 2, 3, 1))
+    pred = Predictor.from_checkpoint(
+        Config(), ckpt, image_shape=frames.shape[1:],
+        num_output_channels=6, chunk_size=8,
+        use_quantized=True, calibration_frames=frames,
+    )
+    assert pred.serving_path == "int8_resident"
+    pts = np.asarray(pred(frames))  # (N, 3, K) [x, y, val]
+    got = np.stack([pts[:, 1, :], pts[:, 0, :]], axis=-1)  # -> [y, x]
+    d = np.linalg.norm(got - ref_pk, axis=-1)
+    assert np.median(d) <= 1.0, np.median(d)
