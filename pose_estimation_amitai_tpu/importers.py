@@ -102,6 +102,10 @@ class ImportedModel:
             from .models.multicam import MultiCamNet
 
             return MultiCamNet(flavor=self.arch_flavor, **kw)
+        if self.model_kind == "two_wings":
+            from .models.cnn import TwoWingsNet
+
+            return TwoWingsNet(flavor=self.arch_flavor, **kw)
         if self.model_kind == "disentangled":
             from .models.disentangled import FourCamDisentangled
 
@@ -667,15 +671,44 @@ def import_keras_h5(path: str) -> ImportedModel:
         take(f"block{b}_conv2", params["decoder"])
     take("head_deconv", params["decoder"], deconv=True)
 
-    out_ch = params["decoder"]["head_deconv"]["kernel"].shape[-1]
-    in_ch = params["encoder"]["block0_conv1"]["kernel"].shape[2]
-    arch = dict(
-        out_channels=int(out_ch), filters=int(filters),
-        kernel_size=int(k_size), dilation=2, num_blocks=int(nb),
-        in_channels=int(in_ch),
+    head_out = params["decoder"]["head_deconv"]["kernel"].shape[-1]
+    enc_in = params["encoder"]["block0_conv1"]["kernel"].shape[2]
+    enc_out = filters * 2 ** nb
+    # The TF builders reuse the SAME nested encoder/decoder submodels for
+    # every CNN wiring (basic_nn / two_wings_net / all_4_cams / all_3_cams
+    # / head_tail_all_cams — tensorflow/Network.py:74-375), so the weight
+    # sequence is identical; the WIRING is recovered from the first
+    # decoder deconv's input width: enc_out x {1: basic, 2: two wings,
+    # 1+N: shared-encoder N-camera fusion}.
+    first_dec = (params["decoder"].get(f"block{nb - 1}_deconv")
+                 or params["decoder"]["head_deconv"])
+    ratio = first_dec["kernel"].shape[2] // enc_out
+    base = dict(filters=int(filters), kernel_size=int(k_size), dilation=2,
+                num_blocks=int(nb))
+    if ratio == 1:
+        arch = dict(out_channels=int(head_out), in_channels=int(enc_in),
+                    **base)
+        return ImportedModel(params=params, model_kind="basic_cnn",
+                             arch_flavor="tf", arch_kwargs=arch)
+    shared = {"shared_encoder": params["encoder"],
+              "shared_decoder": params["decoder"]}
+    if ratio == 2:
+        # two_wings_net: views = time channels + one wing mask each
+        arch = dict(out_channels=int(2 * head_out),
+                    in_channels=int(enc_in + 1), **base)
+        return ImportedModel(params=shared, model_kind="two_wings",
+                             arch_flavor="tf", arch_kwargs=arch)
+    if ratio in (4, 5):
+        num_cams = ratio - 1
+        arch = dict(out_channels=int(num_cams * head_out),
+                    num_cams=num_cams, in_channels=int(num_cams * enc_in),
+                    **base)
+        return ImportedModel(params=shared, model_kind="multicam",
+                             arch_flavor="tf", arch_kwargs=arch)
+    raise ValueError(
+        f"unrecognised keras CNN wiring: decoder input {ratio}x the "
+        f"encoder latent width"
     )
-    return ImportedModel(params=params, model_kind="basic_cnn",
-                         arch_flavor="tf", arch_kwargs=arch)
 
 
 # ---------------------------------------------------------------------------

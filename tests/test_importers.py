@@ -317,62 +317,75 @@ def _write_keras_h5(path, enc_weights, dec_weights):
         fill("Decoder2D", dec_weights)
 
 
-def _keras_oracle(x, enc_weights, dec_weights, nb):
-    """Independent keras-semantics forward (tensorflow/Network.py:416-474):
-    SAME dilated correlations, LeakyReLU(0.01), SAME max-pool + relu,
-    gradient-of-conv transposed convs."""
+def _k_conv(v, kern, bias, dil=1):
+    return lax.conv_general_dilated(
+        v, jnp.asarray(kern), (1, 1), "SAME",
+        rhs_dilation=(dil, dil),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + bias
 
-    def conv(v, kern, bias, dil=1):
-        return lax.conv_general_dilated(
-            v, jnp.asarray(kern), (1, 1), "SAME",
-            rhs_dilation=(dil, dil),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ) + bias
 
-    def deconv(v, kern, bias):
-        # tf.nn.conv2d_transpose == grad of SAME stride-2 conv2d whose
-        # filter is the keras kernel read as (kh, kw, I, O)
-        b, h, w, _ = v.shape
-        cout = kern.shape[2]
-        x0 = jnp.zeros((b, h * 2, w * 2, cout))
-        _, vjp = jax.vjp(
-            lambda t: lax.conv_general_dilated(
-                t, jnp.asarray(kern), (2, 2), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC")), x0)
-        return vjp(v)[0] + bias
+def _k_tf_deconv(v, kern, bias):
+    # tf.nn.conv2d_transpose == grad of SAME stride-2 conv2d whose
+    # filter is the keras kernel read as (kh, kw, I, O)
+    b, h, w, _ = v.shape
+    cout = kern.shape[2]
+    x0 = jnp.zeros((b, h * 2, w * 2, cout))
+    _, vjp = jax.vjp(
+        lambda t: lax.conv_general_dilated(
+            t, jnp.asarray(kern), (2, 2), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")), x0)
+    return vjp(v)[0] + bias
 
-    def leaky(v):
-        return jnp.where(v > 0, v, 0.01 * v)
 
+def _k_leaky(v):
+    return jnp.where(v > 0, v, 0.01 * v)
+
+
+def _enc_oracle(x, enc_weights, nb):
+    """keras Encoder2DAtrous semantics (tensorflow/Network.py:416-447)."""
     idx = 0
     v = jnp.asarray(x)
     for _ in range(nb):
-        v = leaky(conv(v, *enc_weights[idx], dil=2)); idx += 1
-        v = leaky(conv(v, *enc_weights[idx], dil=2)); idx += 1
-        v = conv(v, *enc_weights[idx], dil=2); idx += 1
+        v = _k_leaky(_k_conv(v, *enc_weights[idx], dil=2)); idx += 1
+        v = _k_leaky(_k_conv(v, *enc_weights[idx], dil=2)); idx += 1
+        v = _k_conv(v, *enc_weights[idx], dil=2); idx += 1
         v = jax.nn.relu(lax.reduce_window(
             v, -jnp.inf, lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "SAME"))
     for _ in range(3):
-        v = leaky(conv(v, *enc_weights[idx], dil=2)); idx += 1
+        v = _k_leaky(_k_conv(v, *enc_weights[idx], dil=2)); idx += 1
+    return v
+
+
+def _dec_oracle(v, dec_weights, nb):
+    """keras Decoder2D semantics (tensorflow/Network.py:449-474)."""
     idx = 0
     for _ in range(nb - 1, 0, -1):
-        v = leaky(deconv(v, *dec_weights[idx])); idx += 1
-        v = leaky(conv(v, *dec_weights[idx])); idx += 1
-        v = leaky(conv(v, *dec_weights[idx])); idx += 1
-    return np.asarray(deconv(v, *dec_weights[idx]))
+        v = _k_leaky(_k_tf_deconv(v, *dec_weights[idx])); idx += 1
+        v = _k_leaky(_k_conv(v, *dec_weights[idx])); idx += 1
+        v = _k_leaky(_k_conv(v, *dec_weights[idx])); idx += 1
+    return _k_tf_deconv(v, *dec_weights[idx])
+
+
+def _keras_oracle(x, enc_weights, dec_weights, nb):
+    """Independent keras-semantics basic_nn forward
+    (tensorflow/Network.py:127-145)."""
+    return np.asarray(_dec_oracle(_enc_oracle(x, enc_weights, nb),
+                                  dec_weights, nb))
 
 
 @pytest.mark.quick
-def test_keras_h5_roundtrip(tmp_path):
-    rng = np.random.default_rng(0)
-    f0, cin, cout, nb = 8, 4, 6, 2
+def _gen_keras_cnn_weights(rng, f0, enc_in, head_out, nb, dec_in_ratio=1):
+    """Random keras-layout encoder/decoder weights; ``dec_in_ratio`` is the
+    decoder-input width multiple of the encoder latent (1 basic, 2 two
+    wings, 1+N N-camera fusion — tensorflow/Network.py:74-375)."""
 
     def w(kh, kw, i, o):
         return (rng.normal(0, 0.15, (kh, kw, i, o)).astype(np.float32),
                 rng.normal(0, 0.05, (o,)).astype(np.float32))
 
     enc = []
-    c = cin
+    c = enc_in
     for b in range(nb):
         f = f0 * 2 ** b
         enc += [w(3, 3, c, f), w(3, 3, f, f), w(3, 3, f, f)]
@@ -380,15 +393,22 @@ def test_keras_h5_roundtrip(tmp_path):
     f = f0 * 2 ** nb
     enc += [w(3, 3, c, f), w(3, 3, f, f), w(3, 3, f, f)]
     dec = []
-    c = f
+    c = f * dec_in_ratio
     for b in range(nb - 1, 0, -1):
         f = f0 * 2 ** b
         dec += [(rng.normal(0, 0.15, (3, 3, f, c)).astype(np.float32),
                  rng.normal(0, 0.05, (f,)).astype(np.float32)),
                 w(3, 3, f, f), w(3, 3, f, f)]
         c = f
-    dec += [(rng.normal(0, 0.15, (3, 3, cout, c)).astype(np.float32),
-             rng.normal(0, 0.05, (cout,)).astype(np.float32))]
+    dec += [(rng.normal(0, 0.15, (3, 3, head_out, c)).astype(np.float32),
+             rng.normal(0, 0.05, (head_out,)).astype(np.float32))]
+    return enc, dec
+
+
+def test_keras_h5_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    f0, cin, cout, nb = 8, 4, 6, 2
+    enc, dec = _gen_keras_cnn_weights(rng, f0, cin, cout, nb)
 
     path = str(tmp_path / "best_model.h5")
     _write_keras_h5(path, enc, dec)
@@ -402,6 +422,71 @@ def test_keras_h5_roundtrip(tmp_path):
 
     x = rng.random((2, 48, 48, cin)).astype(np.float32)
     ref = _keras_oracle(x, enc, dec, nb)
+    model = imported.build_model(dtype=jnp.float32)
+    got = np.asarray(model.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, imported.params)},
+        jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.quick
+def test_keras_two_wings_h5_roundtrip(tmp_path):
+    """two_wings_net .h5 (tensorflow/Network.py:200-243): same nested
+    submodels, decoder input 2x the latent — detected from the weights and
+    routed to TwoWingsNet; output parity vs a composed keras oracle."""
+    rng = np.random.default_rng(11)
+    f0, nb, t, head_out = 8, 2, 3, 4
+    enc, dec = _gen_keras_cnn_weights(rng, f0, t + 1, head_out, nb,
+                                      dec_in_ratio=2)
+    path = str(tmp_path / "two_wings.h5")
+    _write_keras_h5(path, enc, dec)
+
+    imported = import_reference_checkpoint(path)
+    assert imported.model_kind == "two_wings"
+    assert imported.arch_kwargs["out_channels"] == 2 * head_out
+    assert imported.arch_kwargs["in_channels"] == t + 2
+
+    x = rng.random((2, 48, 48, t + 2)).astype(np.float32)
+    w1 = x[..., list(range(t)) + [t]]
+    w2 = x[..., list(range(t)) + [t + 1]]
+    c1 = _enc_oracle(w1, enc, nb)
+    c2 = _enc_oracle(w2, enc, nb)
+    m1 = _dec_oracle(jnp.concatenate([c1, c2], -1), dec, nb)
+    m2 = _dec_oracle(jnp.concatenate([c2, c1], -1), dec, nb)
+    ref = np.asarray(jnp.concatenate([m1, m2], -1))
+
+    model = imported.build_model(dtype=jnp.float32)
+    got = np.asarray(model.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, imported.params)},
+        jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.quick
+def test_keras_all_4_cams_h5_roundtrip(tmp_path):
+    """all_4_cams .h5 (tensorflow/Network.py:321-375): decoder input 5x
+    the latent -> MultiCamNet tf flavour; parity vs a composed oracle."""
+    rng = np.random.default_rng(12)
+    f0, nb, cpv, head_out = 8, 2, 4, 2
+    enc, dec = _gen_keras_cnn_weights(rng, f0, cpv, head_out, nb,
+                                      dec_in_ratio=5)
+    path = str(tmp_path / "all_4_cams.h5")
+    _write_keras_h5(path, enc, dec)
+
+    imported = import_reference_checkpoint(path)
+    assert imported.model_kind == "multicam"
+    assert imported.arch_flavor == "tf"
+    assert imported.arch_kwargs["num_cams"] == 4
+    assert imported.arch_kwargs["out_channels"] == 4 * head_out
+
+    x = rng.random((2, 48, 48, 4 * cpv)).astype(np.float32)
+    encs = [_enc_oracle(x[..., i * cpv:(i + 1) * cpv], enc, nb)
+            for i in range(4)]
+    merged = jnp.concatenate(encs, -1)
+    outs = [_dec_oracle(jnp.concatenate([e, merged], -1), dec, nb)
+            for e in encs]
+    ref = np.asarray(jnp.concatenate(outs, -1))
+
     model = imported.build_model(dtype=jnp.float32)
     got = np.asarray(model.apply(
         {"params": jax.tree_util.tree_map(jnp.asarray, imported.params)},
