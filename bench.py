@@ -31,8 +31,17 @@ tens of ms).  The first number is the conservative whole-run rate at K_LARGE
 the MARGINAL rate between two K values, which cancels the fixed overhead
 exactly.  Host fetches are forced with ``np.asarray``.
 
-Prints ONE JSON line:
-  {"metric", "value", "unit", "vs_baseline"[, "train_step_throughput"]}
+Prints the HEADLINE JSON line first:
+  {"metric": "heatmap_inference_throughput", "value", "unit",
+   "vs_baseline", "value_min", "value_max", "repeats"
+   [, "train_step_throughput"]}
+(value_min/value_max = observed per-repeat whole-run rate spread, so
+round-over-round drift is classifiable as relay noise vs regression), then
+— spare budget permitting — appends one driver-verified zoo line per extra
+serving family (ViT per-wing, 4-cam fusion CNN), e.g.:
+  {"metric": "vit_serving_throughput", "value", ...}
+Zoo failures or budget exhaustion only cost the extra lines; the headline
+is already out.
 
 Flags: ``--train`` (train-step bench only), ``--infer`` (skip train metric),
 ``--no-deadline`` (disable the watchdog, for offline runs).
@@ -77,7 +86,11 @@ ABS_MAX_S = 550.0          # never run longer than this, claim or no claim
 REFINE_BUDGET_S = 200.0
 TRAIN_BUDGET_S = 110.0
 
-_STATE: dict = {"out": None, "device_ready": None}
+_STATE: dict = {"out": None, "device_ready": None, "emitted": False}
+# zoo spare-budget section (runs AFTER the headline line is printed, so it
+# can only add lines, never delay or sink the headline)
+ZOO_VIT_BUDGET_S = 320.0     # start the ViT family bench below this
+ZOO_MULTICAM_BUDGET_S = 420.0  # start the 4-cam fusion bench below this
 _EMIT_LOCK = threading.Lock()
 SCALES_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "bench_scales.npz")
@@ -106,7 +119,8 @@ def _emit(hard_exit: bool, code: int = 0) -> None:
         if out is not None:
             print(json.dumps(out), flush=True)
             _STATE["out"] = None  # never print twice
-        else:
+            _STATE["emitted"] = True
+        elif not _STATE["emitted"]:
             code = max(code, 7)
         sys.stdout.flush()
         sys.stderr.flush()
@@ -134,15 +148,27 @@ def _start_watchdog() -> None:
     t.start()
 
 
+def _spread(rates: list[float]) -> dict:
+    """Observed per-repeat rate spread for the emitted JSON (noise band)."""
+    return {
+        "value_min": round(min(rates), 1),
+        "value_max": round(max(rates), 1),
+        "repeats": len(rates),
+    }
+
+
 def _set_headline(fps: float, extra: dict | None = None) -> None:
+    """Update the pending headline; ``extra`` fields accumulate across
+    calls (spread fields from the rate measurement, train_step metric)."""
+    if extra:
+        _STATE.setdefault("extras", {}).update(extra)
     out = {
         "metric": "heatmap_inference_throughput",
         "value": round(fps, 1),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
     }
-    if extra:
-        out.update(extra)
+    out.update(_STATE.get("extras", {}))
     _STATE["out"] = out
 
 
@@ -263,6 +289,117 @@ def _scan_runner(forward, params, base):
     return make
 
 
+def _bench_family(model_type: str, in_ch: int, out_ch: int, cams: int,
+                  batch: int, mode: str) -> float:
+    """Marginal-rate serving throughput (samples/s) for one zoo family —
+    the bench_zoo.py methodology compacted: one jitted ``lax.scan`` movie
+    loop with on-device argmax decode, marginal rate between two K values.
+
+    ``mode``: 'bf16' (plain flax apply) or 'int8' (the generic interceptor,
+    models/quantized_generic.py, shape-only calibration)."""
+    from pose_estimation_amitai_tpu.config import Config
+    from pose_estimation_amitai_tpu.models import build_model
+    from pose_estimation_amitai_tpu.ops import peaks
+
+    hw = 192
+    cfg = Config(model_type=model_type, dropout_ratio=0.0)
+    model = build_model(cfg, (hw, hw, in_ch), out_ch)
+    if batch >= 128 and getattr(model, "fold_views", None) is True:
+        model = model.clone(fold_views=False)  # large-batch regime
+    if getattr(model, "normalize_output", None) is True:
+        model = model.clone(normalize_output=False)  # peaks-only serving
+    rng = np.random.default_rng(0)
+    base = jnp.asarray(rng.random((batch, hw, hw, in_ch)), jnp.bfloat16)
+    variables = model.init(
+        {"params": jax.random.key(0)},
+        jnp.zeros((1, hw, hw, in_ch), jnp.bfloat16), train=False,
+    )
+    variables = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(v, jnp.float32), variables
+    )
+    if mode == "int8":
+        from pose_estimation_amitai_tpu.models.quantized_generic import (
+            calibrate_apply,
+            make_quantized_apply,
+        )
+
+        calib = [(np.asarray(base[:8], np.float32),)]
+        scales = calibrate_apply(model, variables, calib)
+        forward = make_quantized_apply(
+            model, variables, scales, out_dtype=jnp.bfloat16
+        )
+    else:
+        def forward(frames):
+            return model.apply(variables, frames, train=False)
+
+    k_s, k_l = 2, 8
+
+    def make(K):
+        @jax.jit
+        def run(base):
+            def body(c, i):
+                frames = base * (1.0 + i.astype(jnp.bfloat16) * 1e-3)
+                return c, peaks.find_peaks_with_vals(forward(frames))
+
+            _, out = jax.lax.scan(body, 0, jnp.arange(K))
+            return out
+
+        return lambda: run(base)
+
+    r_s, r_l = make(k_s), make(k_l)
+
+    def timed(fn):
+        t0 = time.perf_counter()
+        np.asarray(jax.tree_util.tree_leaves(fn())[0])
+        return time.perf_counter() - t0
+
+    timed(r_s), timed(r_l)  # compile + warm
+    t_s = min(timed(r_s) for _ in range(2))
+    t_l = min(timed(r_l) for _ in range(2))
+    return (k_l - k_s) * batch / max(t_l - t_s, 1e-9)
+
+
+def bench_zoo_spare_budget() -> None:
+    """Driver-verified zoo lines (round-3 verdict next #1): after the
+    headline is printed, measure the second-most-important serving
+    families and append one JSON line each — the ViT per-wing family
+    (reference serving surface pytorch/VITs.py:197-229) and, with budget
+    left, the 4-cam fusion CNN (pytorch/CNNs.py:189-237). Failures and
+    budget exhaustion only cost the extra lines, never the headline."""
+    from pose_estimation_amitai_tpu import constants as C
+
+    zoo = [
+        ("vit_serving_throughput",
+         C.MODEL_18_POINTS_PER_WING_VIT, 4, 18, 1, 512, "bf16",
+         ZOO_VIT_BUDGET_S),
+        ("multicam_serving_throughput",
+         C.ALL_CAMS_18_POINTS, 16, 72, 4, 256, "int8",
+         ZOO_MULTICAM_BUDGET_S),
+    ]
+    for metric, mt, in_ch, out_ch, cams, batch, mode, budget in zoo:
+        if _elapsed() >= budget:
+            _log(f"skipping {metric} (budget: {_elapsed():.0f}s"
+                 f" >= {budget:.0f}s)")
+            continue
+        try:
+            sps = _bench_family(mt, in_ch, out_ch, cams, batch, mode)
+            frames = sps * cams
+            line = {
+                "metric": metric,
+                "value": round(frames, 1),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(frames / BASELINE_FPS, 3),
+                "samples_per_s": round(sps, 1),
+                "path": mode,
+                "batch": batch,
+                "model_type": mt,
+            }
+            print(json.dumps(line), flush=True)
+            _log(f"{metric} {frames:.0f} frames/s ({mode}, batch {batch})")
+        except Exception as e:
+            _log(f"{metric} failed (headline unaffected): {e!r}")
+
+
 def main() -> None:
     from pose_estimation_amitai_tpu.models.quantized import (
         make_quantized_resident_forward,
@@ -292,10 +429,16 @@ def main() -> None:
         np.asarray(fn())
         return time.perf_counter() - t0
 
-    t_l = min(timed(run_large) for _ in range(3))
+    times_l = [timed(run_large) for _ in range(3)]
+    t_l = min(times_l)
+    # per-repeat whole-run rates: the headline's published SPREAD, so
+    # round-over-round drift (r1 6,607 -> r3 6,506) is classifiable as
+    # relay noise vs real regression (round-3 verdict weak #4)
+    rates = [K_LARGE * B / t for t in times_l]
     fps = K_LARGE * B / t_l
-    _set_headline(fps)
-    _log(f"whole-run rate {fps:.0f} fps (t={t_l:.3f}s)")
+    _set_headline(fps, _spread(rates))
+    _log(f"whole-run rate {fps:.0f} fps (t={t_l:.3f}s, "
+         f"spread {min(rates):.0f}-{max(rates):.0f})")
 
     # --- refinement: marginal rate between K_SMALL and K_LARGE -------------
     if _elapsed() < REFINE_BUDGET_S:
@@ -303,7 +446,9 @@ def main() -> None:
             run_small = make(K_SMALL)
             np.asarray(run_small())  # compile + warm
             t_s = min(timed(run_small) for _ in range(3))
-            t_l = min(t_l, min(timed(run_large) for _ in range(2)))
+            more_l = [timed(run_large) for _ in range(2)]
+            rates += [K_LARGE * B / t for t in more_l]
+            t_l = min(t_l, min(more_l))
             dt = t_l - t_s
             if dt > 1e-6:
                 m_fps = (K_LARGE - K_SMALL) * B / dt
@@ -311,9 +456,10 @@ def main() -> None:
                 # so marginal >= whole-run; cap runaway noise at +20%)
                 if fps <= m_fps <= fps * 1.2:
                     fps = m_fps
-                    _set_headline(fps)
+                    _set_headline(fps, _spread(rates))
                     _log(f"marginal rate {fps:.0f} fps")
                 else:
+                    _set_headline(fps, _spread(rates))
                     _log(f"marginal {m_fps:.0f} fps out of trust band; "
                          f"keeping whole-run rate")
             else:
@@ -338,7 +484,9 @@ def main() -> None:
     elif "--infer" not in sys.argv:
         _log("skipping train-step metric (budget)")
 
+    # headline goes out NOW; everything after can only append lines
     _emit(hard_exit=False)
+    bench_zoo_spare_budget()
 
 
 if __name__ == "__main__":

@@ -103,6 +103,7 @@ def _preprocessed(args):
         cameras=cameras,
         quantized_layers=getattr(args, "quantized_layers", None),
         import_reference=bool(getattr(args, "import_reference", False)),
+        dim_head=getattr(args, "dim_head", None),
     )
     return cfg, pre, box, confmaps, predictor
 
@@ -217,20 +218,30 @@ def cmd_export(args) -> int:
 
 def cmd_import(args) -> int:
     """Convert a reference checkpoint to the rebuild's native msgpack
-    weights snapshot (loadable by Predictor.from_checkpoint / the trainer's
-    ``resume_from``-style param restores)."""
-    from flax import serialization
+    snapshot (loadable by Predictor.from_checkpoint, which rebuilds the
+    exact model from the embedded architecture metadata).
 
-    from .importers import import_reference_checkpoint
+    The payload carries params + BatchNorm running stats + model_kind /
+    arch_flavor / arch_kwargs — NOT params alone, which would be
+    shape-compatible with a config-built model yet silently wrong
+    (flavour / dilation / ref_token_grid drift) or broken for the BN
+    families (importers.save_imported_snapshot)."""
+    from .importers import (
+        import_reference_checkpoint,
+        save_imported_snapshot,
+    )
 
-    imported = import_reference_checkpoint(args.checkpoint)
-    with open(args.out, "wb") as f:
-        f.write(serialization.to_bytes(imported.params))
+    imported = import_reference_checkpoint(
+        args.checkpoint, dim_head=args.dim_head
+    )
+    save_imported_snapshot(imported, args.out)
     print(json.dumps({
         "written": args.out,
+        "format": "imported_reference_v1",
         "model_kind": imported.model_kind,
         "arch_flavor": imported.arch_flavor,
         "arch_kwargs": imported.arch_kwargs,
+        "has_batch_stats": bool(imported.batch_stats),
     }))
     return 0
 
@@ -274,6 +285,12 @@ def main(argv: list[str] | None = None) -> int:
             help="with --quantized: 'conv_only' is the ViT mixed-precision "
                  "mode (int8 conv decoder, bf16 transformer trunk — "
                  "DESIGN.md serving findings)",
+        )
+        s.add_argument(
+            "--dim-head", type=int, default=None,
+            help="explicit attention head width for imported torch ViT "
+                 "checkpoints whose (heads, dim_head) split is "
+                 "shape-ambiguous (pytorch/VITs.py:212)",
         )
         s.add_argument(
             "--import-reference", action="store_true",
@@ -322,6 +339,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     imp.add_argument("checkpoint", help="reference checkpoint file")
     imp.add_argument("out", help="output .msgpack path")
+    imp.add_argument(
+        "--dim-head", type=int, default=None,
+        help="explicit attention head width for torch ViT checkpoints "
+             "whose (heads, dim_head) split is shape-ambiguous (the "
+             "reference's 'dim head' config flag, pytorch/VITs.py:212)",
+    )
     imp.set_defaults(fn=cmd_import)
 
     args = p.parse_args(argv)

@@ -84,6 +84,7 @@ _ALIASES: dict[str, tuple[str, ...]] = {
     "best_min_rel_delta": ("best_min_rel_delta",),
     "compute_dtype": ("compute_dtype",),
     "arch_flavor": ("arch_flavor",),
+    "resnet_flavor": ("resnet_flavor",),
     "mesh_shape": ("mesh_shape",),
     "pipeline_stages": ("pipeline_stages", "pipeline stages"),
     "pipeline_microbatches": ("pipeline_microbatches", "pipeline microbatches"),
@@ -193,6 +194,11 @@ class Config:
     best_min_rel_delta: float = 0.0
     compute_dtype: str = "bfloat16"  # bf16 compute / f32 params (no AMP scaler)
     arch_flavor: str = "torch"  # 'torch' | 'tf': pins LeakyReLU alpha + skips
+    # ResNet50 trunk flavour: 'tpu' (XLA-SAME pads, the benched default),
+    # 'torch' (torchvision-exact pads — REQUIRED for bit-exact ImageNet
+    # encoder init via pretrained_encoder_path -> torchvision state_dict),
+    # 'tf' (keras-applications-exact v1 trunk, for imported reference .h5)
+    resnet_flavor: str = "tpu"
     mesh_shape: tuple[int, ...] = ()  # () => 1-D data mesh over all devices
     # GPipe pipeline parallelism over the ViT trunk (parallel/pipeline.py):
     # >1 => train on a (data, pipe) mesh with the transformer block stack

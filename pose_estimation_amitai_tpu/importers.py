@@ -47,6 +47,9 @@ __all__ = [
     "import_keras_h5",
     "import_reference_checkpoint",
     "is_reference_checkpoint",
+    "save_imported_snapshot",
+    "load_imported_snapshot",
+    "adapt_stem_in_channels",
 ]
 
 
@@ -110,6 +113,20 @@ class ImportedModel:
             from .models.disentangled import FourCamDisentangled
 
             return FourCamDisentangled(flavor=self.arch_flavor, **kw)
+        if self.model_kind == "c2f":
+            from .models.cnn import C2FPerWing
+
+            return C2FPerWing(flavor=self.arch_flavor, **kw)
+        if self.model_kind == "resnet":
+            from .models.resnet import ResNetHeatmapNet
+
+            return ResNetHeatmapNet(flavor=self.arch_flavor, **kw)
+        if self.model_kind == "resnet_encoder":
+            raise ValueError(
+                "a torchvision resnet50 state_dict is an ENCODER-INIT "
+                "checkpoint (no decoder weights) — use it via the config's "
+                "pretrained_encoder_path, not as a full serving model"
+            )
         raise ValueError(f"unknown model kind {self.model_kind!r}")
 
 
@@ -201,9 +218,24 @@ def _import_torch_vit(
     # attention math, but only their product is shape-recoverable. The
     # reference picks dim_head = projection_dim when config "dim head" is
     # truthy (the committed config's setting) else 64 (pytorch/VITs.py:212)
-    # — prefer the committed-config reading, fall back to 64.
+    # — prefer the committed-config reading, fall back to 64. When BOTH
+    # readings are shape-consistent the guess can be silently wrong for a
+    # dim_head=64 training run — warn and point at the explicit override
+    # (``import_reference_checkpoint(..., dim_head=...)`` / CLI
+    # ``--dim-head``).
     if dim_head is None:
         dim_head = dim if inner % dim == 0 else 64
+        if inner % dim == 0 and inner % 64 == 0 and dim != 64:
+            import warnings
+
+            warnings.warn(
+                f"ViT qkv width {inner} is divisible by both dim={dim} and "
+                f"64 — assuming dim_head={dim} (the committed config's "
+                "'dim head' truthy reading, pytorch/VITs.py:212). If this "
+                "checkpoint was trained with 'dim head' falsy, pass "
+                "dim_head=64 explicitly (CLI: --dim-head 64).",
+                stacklevel=3,
+            )
     if inner % dim_head:
         raise ValueError(
             f"qkv width {inner} is not divisible by dim_head {dim_head}"
@@ -386,24 +418,109 @@ def _import_torch_disentangled(sd: dict[str, np.ndarray]) -> ImportedModel:
                          batch_stats=batch_stats)
 
 
-def import_torch_checkpoint(path: str) -> ImportedModel:
+def _import_torchvision_resnet50(sd: dict[str, np.ndarray]) -> ImportedModel:
+    """torchvision ``resnet50`` ``state_dict`` -> encoder-init weights for
+    ``ResNet50Encoder(flavor='torch')``.
+
+    The reference's torch warehouse uses ``models.resnet50(pretrained=True)``
+    as a truncated encoder (pytorch/NNs warehouse/NNs.py:20-25); this maps
+    the full torchvision trunk (stem + layer1-4, BN running stats included)
+    onto the rebuild's bottleneck encoder so ``pretrained_encoder_path`` can
+    point straight at a torchvision checkpoint. Classifier (``fc.*``) and
+    ``num_batches_tracked`` entries are ignored. The result is an
+    ENCODER-ONLY import (model_kind 'resnet_encoder'): graft it as encoder
+    init, don't serve it standalone.
+    """
+    enc: dict[str, Any] = {"stem": {"kernel": _t_conv(sd["conv1.weight"])}}
+    stats: dict[str, Any] = {}
+
+    def bn(src: str, dst_p: dict, dst_s: dict, key: str) -> None:
+        dst_p[key] = {"scale": sd[f"{src}.weight"],
+                      "bias": sd[f"{src}.bias"]}
+        dst_s[key] = {"mean": sd[f"{src}.running_mean"],
+                      "var": sd[f"{src}.running_var"]}
+
+    bn("bn1", enc, stats, "stem_bn")
+    stage_sizes: list[int] = []
+    for layer in range(1, 5):
+        blocks = 0
+        while f"layer{layer}.{blocks}.conv1.weight" in sd:
+            blocks += 1
+        stage_sizes.append(blocks)
+        for b in range(blocks):
+            pfx = f"layer{layer}.{b}"
+            blk_p: dict[str, Any] = {}
+            blk_s: dict[str, Any] = {}
+            for j in (1, 2, 3):
+                blk_p[f"conv{j}"] = {
+                    "kernel": _t_conv(sd[f"{pfx}.conv{j}.weight"])
+                }
+                bn(f"{pfx}.bn{j}", blk_p, blk_s, f"bn{j}")
+            if f"{pfx}.downsample.0.weight" in sd:
+                blk_p["conv_proj"] = {
+                    "kernel": _t_conv(sd[f"{pfx}.downsample.0.weight"])
+                }
+                bn(f"{pfx}.downsample.1", blk_p, blk_s, "bn_proj")
+            name = f"stage{layer - 1}_block{b}"
+            enc[name] = blk_p
+            stats[name] = blk_s
+    arch = dict(
+        in_channels=int(sd["conv1.weight"].shape[1]),
+        stage_sizes=stage_sizes,
+    )
+    return ImportedModel(
+        params={"encoder": enc}, model_kind="resnet_encoder",
+        arch_flavor="torch", arch_kwargs=arch,
+        batch_stats={"encoder": stats},
+    )
+
+
+def adapt_stem_in_channels(kernel: np.ndarray, target_cin: int) -> np.ndarray:
+    """Adapt a (kh, kw, C, O) stem kernel to ``target_cin`` input channels.
+
+    ImageNet trunks have a 3-channel stem; this dataset's frames carry 4+
+    channels (3 time channels + wing masks). Inflation: every target
+    channel gets ``kernel.sum(channels) / target_cin``, so an input whose
+    channels are all equal (grayscale-replicated) produces EXACTLY the
+    trunk's response to the equivalent RGB input — total response
+    magnitude is preserved (sum over target channels == original sum).
+    """
+    if kernel.shape[2] == target_cin:
+        return kernel
+    summed = kernel.sum(axis=2, keepdims=True) / float(target_cin)
+    return np.ascontiguousarray(
+        np.broadcast_to(summed, kernel.shape[:2] + (target_cin,)
+                        + kernel.shape[3:]).astype(kernel.dtype)
+    )
+
+
+def import_torch_checkpoint(
+    path: str, dim_head: int | None = None
+) -> ImportedModel:
     """Import a reference torch checkpoint (TorchScript ``best_model.pth``,
-    ``checkpoint.pth`` dict, raw ``state_dict`` save, or the
-    self-supervision weights)."""
+    ``checkpoint.pth`` dict, raw ``state_dict`` save, the self-supervision
+    weights, or a torchvision ``resnet50`` trunk for encoder init).
+
+    ``dim_head``: explicit (heads, dim_head) split for ViT checkpoints —
+    only the product is shape-recoverable (see ``_import_torch_vit``).
+    """
     sd = _load_torch_state_dict(path)
     if any(k.startswith("vit_encoder.") for k in sd):
-        return _import_torch_vit(sd)
+        return _import_torch_vit(sd, dim_head=dim_head)
     if "rearrange_layer_1.weight" in sd:
         return _import_torch_disentangled(sd)
     if "shared_conv2d.weight" in sd:
         return _import_torch_multicam(sd)
+    if "layer1.0.conv1.weight" in sd and "conv1.weight" in sd:
+        return _import_torchvision_resnet50(sd)
     if any(k.startswith("encoder.conv") for k in sd):
         return _import_torch_basicnet(sd)
     raise ValueError(
         "unrecognised torch state dict — expected reference BasicNet "
         "(encoder.conv*), FourCamerasBaseLine (shared_conv2d.*), "
-        "FourCamerasDisentanglement (rearrange_layer_*), or "
-        "VIT_encoder_CNN_decoder (vit_encoder.*) keys; "
+        "FourCamerasDisentanglement (rearrange_layer_*), "
+        "VIT_encoder_CNN_decoder (vit_encoder.*), or torchvision resnet50 "
+        "(layer1.0.*) keys; "
         f"got {sorted(sd)[:8]} ..."
     )
 
@@ -606,6 +723,168 @@ def import_keras_vit(weights: list[tuple[str, np.ndarray]]) -> ImportedModel:
     )
 
 
+def _import_keras_resnet(
+    weights: list[tuple[str, np.ndarray]]
+) -> ImportedModel:
+    """``resnet50_encoder_shallow_decoder`` ``.h5``
+    (tensorflow/Network.py:377-414): keras-applications ResNet50 v1 trunk +
+    5 channel-halving Conv2DTranspose decoders.
+
+    keras.applications names its resnet layers deterministically
+    (``conv1_conv``, ``conv{s}_block{b}_{j}_conv`` / ``_bn``), so the trunk
+    maps by NAME onto :class:`..models.resnet.KerasResNet50Encoder` (whose
+    param tree uses the same keys); BN moving stats land in ``batch_stats``.
+    The decoder's transposed convs are matched positionally (keras
+    auto-names them), in save order.
+    """
+    import re
+
+    lay_pat = re.compile(r"^(conv\d+_block\d+_\d+|conv1)_(conv|bn)$")
+    enc_params: dict[str, Any] = {}
+    enc_stats: dict[str, Any] = {}
+    dec_layers: list[str] = []
+    dec_parts: dict[str, dict[str, np.ndarray]] = {}
+    block_ids: dict[int, set[int]] = {}
+
+    for name, w in weights:
+        parts = name.split("/")
+        leaf = parts[-1].split(":")[0]
+        lay = parts[-2] if len(parts) >= 2 else ""
+        m = lay_pat.match(lay)
+        if m:
+            if m.group(2) == "conv":
+                enc_params.setdefault(lay, {})[
+                    "kernel" if leaf == "kernel" else "bias"] = w
+            else:  # bn
+                if leaf == "gamma":
+                    enc_params.setdefault(lay, {})["scale"] = w
+                elif leaf == "beta":
+                    enc_params.setdefault(lay, {})["bias"] = w
+                elif leaf == "moving_mean":
+                    enc_stats.setdefault(lay, {})["mean"] = w
+                elif leaf == "moving_variance":
+                    enc_stats.setdefault(lay, {})["var"] = w
+            bm = re.match(r"^conv(\d+)_block(\d+)_", lay)
+            if bm:
+                block_ids.setdefault(int(bm.group(1)), set()).add(
+                    int(bm.group(2)))
+        else:
+            # decoder transposed convs (+ anything else weightful, which
+            # the keras resnet graph does not contain)
+            if lay not in dec_parts:
+                dec_parts[lay] = {}
+                dec_layers.append(lay)
+            dec_parts[lay][leaf] = w
+
+    deconvs = [(dec_parts[lay]["kernel"], dec_parts[lay].get("bias"))
+               for lay in dec_layers
+               if dec_parts[lay].get("kernel") is not None
+               and dec_parts[lay]["kernel"].ndim == 4]
+    if "conv1_conv" not in enc_params or len(deconvs) != 5:
+        raise ValueError(
+            f"keras resnet50 layout not recognised: stem "
+            f"{'conv1_conv' in enc_params}, {len(deconvs)} decoder deconvs "
+            "(expected 5 — tensorflow/Network.py:385-409)"
+        )
+
+    stem_k = enc_params["conv1_conv"]["kernel"]
+    stage_sizes = [len(block_ids[s]) for s in sorted(block_ids)]
+    params: dict[str, Any] = {"encoder": enc_params}
+    names = ["deconv1", "deconv2", "deconv3", "deconv4", "head"]
+    for tname, (kern, bias) in zip(names, deconvs):
+        k = _k_deconv(kern)
+        params[tname] = {
+            "kernel": k,
+            "bias": bias if bias is not None
+            else np.zeros((k.shape[-1],), np.float32),
+        }
+    arch = dict(
+        out_channels=int(deconvs[-1][0].shape[2]),
+        kernel_size=int(deconvs[0][0].shape[0]),
+        stem_features=int(stem_k.shape[-1]),
+        stage_sizes=stage_sizes,
+        in_channels=int(stem_k.shape[2]),
+    )
+    return ImportedModel(
+        params=params, model_kind="resnet", arch_flavor="tf",
+        arch_kwargs=arch, batch_stats={"encoder": enc_stats},
+    )
+
+
+def _parse_keras_cnn_stack(
+    kernels: list[tuple[str, np.ndarray]], bias_for, nb: int
+) -> dict[str, Any]:
+    """Positional parse of ONE basic_nn enc-dec stack (6*nb+1 kernel/bias
+    pairs in keras save order — tensorflow/Network.py:416-474) into the
+    rebuild's TF-flavour EncoderAtrous/DecoderUp param tree."""
+    params: dict[str, Any] = {"encoder": {}, "decoder": {}}
+    idx = 0
+
+    def take(tname: str, tree: dict, deconv: bool = False):
+        nonlocal idx
+        name, w = kernels[idx]
+        idx += 1
+        kern = _k_deconv(w) if deconv else w
+        tree[tname] = {"kernel": np.ascontiguousarray(kern),
+                       "bias": bias_for(name, kern.shape[-1])}
+
+    for b in range(nb):
+        for c in range(1, 4):
+            take(f"block{b}_conv{c}", params["encoder"])
+    for c in range(1, 4):
+        take(f"bottleneck_conv{c}", params["encoder"])
+    for b in range(nb - 1, 0, -1):
+        take(f"block{b}_deconv", params["decoder"], deconv=True)
+        take(f"block{b}_conv1", params["decoder"])
+        take(f"block{b}_conv2", params["decoder"])
+    take("head_deconv", params["decoder"], deconv=True)
+    return params
+
+
+def _try_import_keras_c2f(
+    kernels: list[tuple[str, np.ndarray]], bias_for
+) -> ImportedModel | None:
+    """Recognise a ``C2F_per_wing`` save: frozen coarse basic_nn stack
+    followed by the fine stack (tensorflow/Network.py:169-198).
+
+    Split point: coarse is 6*nb1+1 kernels; the stitch is validated by the
+    fine encoder's conv1 input width, which must equal the model input
+    channels plus the coarse head's output channels (the reference
+    concatenates x_in with the frozen coarse confmaps). The reference pins
+    the coarse pyramid at nb=3 (Network.py:147), so that candidate is
+    tried first.
+    """
+    n = len(kernels)
+    cin = int(kernels[0][1].shape[2])
+    for nb1 in (3, 2, 4, 1, 5):
+        n1 = 6 * nb1 + 1
+        n2 = n - n1
+        if n2 < 7 or (n2 - 1) % 6:
+            continue
+        nb2 = (n2 - 1) // 6
+        # coarse head is a Conv2DTranspose kernel (kh, kw, O, I)
+        coarse_out = int(kernels[n1 - 1][1].shape[2])
+        fine_in = int(kernels[n1][1].shape[2])
+        if fine_in != cin + coarse_out:
+            continue
+        coarse = _parse_keras_cnn_stack(kernels[:n1], bias_for, nb1)
+        fine = _parse_keras_cnn_stack(kernels[n1:], bias_for, nb2)
+        arch = dict(
+            out_channels=int(fine["decoder"]["head_deconv"]["kernel"]
+                             .shape[-1]),
+            coarse_out_channels=coarse_out,
+            filters=int(kernels[n1][1].shape[-1]),
+            coarse_filters=int(kernels[0][1].shape[-1]),
+            kernel_size=int(kernels[0][1].shape[0]), dilation=2,
+            num_blocks=nb2, coarse_num_blocks=nb1, in_channels=cin,
+        )
+        return ImportedModel(
+            params={"coarse": coarse, "fine": fine},
+            model_kind="c2f", arch_flavor="tf", arch_kwargs=arch,
+        )
+    return None
+
+
 def import_keras_h5(path: str) -> ImportedModel:
     """Import a reference keras ``.h5`` CNN save (basic_nn family,
     tensorflow/Network.py:127-145 + 416-474).
@@ -618,6 +897,10 @@ def import_keras_h5(path: str) -> ImportedModel:
     validated shape-by-shape against that structure.
     """
     weights = _keras_weight_list(path)
+    if any(n.split("/")[-1].startswith("moving_mean") for n, _ in weights):
+        # BatchNorm stats present: the keras ResNet50 family — the only TF
+        # family with BN (tensorflow/Network.py:377-414)
+        return _import_keras_resnet(weights)
     if any(w.ndim == 3 or "attention" in n.lower() for n, w in weights):
         # transformer weights present: the TF ViT save (vitPose.py)
         return import_keras_vit(weights)
@@ -643,33 +926,20 @@ def import_keras_h5(path: str) -> ImportedModel:
     # total kernels = 3*nb + 3 (encoder) + 3*(nb-1) + 1 (decoder)
     # = 6*nb + 1  ->  nb = (n - 1) / 6
     if (n - 1) % 6:
+        # Two stacked basic_nn stacks = a C2F_per_wing save (the frozen
+        # coarse submodel's weights ride inside the .h5,
+        # tensorflow/Network.py:169-198): n = (6*nb1+1) + (6*nb2+1), so
+        # (n-1) % 6 == 1 always. Try that split before failing.
+        c2f = _try_import_keras_c2f(kernels, bias_for)
+        if c2f is not None:
+            return c2f
         raise ValueError(
             f"{path}: {n} conv layers does not match the basic_nn family "
-            "(expected 6*num_blocks + 1)"
+            "(expected 6*num_blocks + 1) nor a stacked C2F_per_wing save"
         )
     nb = (n - 1) // 6
 
-    params: dict[str, Any] = {"encoder": {}, "decoder": {}}
-    idx = 0
-
-    def take(tname: str, tree: dict, deconv: bool = False):
-        nonlocal idx
-        name, w = kernels[idx]
-        idx += 1
-        kern = _k_deconv(w) if deconv else w
-        tree[tname] = {"kernel": np.ascontiguousarray(kern),
-                       "bias": bias_for(name, kern.shape[-1])}
-
-    for b in range(nb):
-        for c in range(1, 4):
-            take(f"block{b}_conv{c}", params["encoder"])
-    for c in range(1, 4):
-        take(f"bottleneck_conv{c}", params["encoder"])
-    for b in range(nb - 1, 0, -1):
-        take(f"block{b}_deconv", params["decoder"], deconv=True)
-        take(f"block{b}_conv1", params["decoder"])
-        take(f"block{b}_conv2", params["decoder"])
-    take("head_deconv", params["decoder"], deconv=True)
+    params = _parse_keras_cnn_stack(kernels, bias_for, nb)
 
     head_out = params["decoder"]["head_deconv"]["kernel"].shape[-1]
     enc_in = params["encoder"]["block0_conv1"]["kernel"].shape[2]
@@ -712,12 +982,83 @@ def import_keras_h5(path: str) -> ImportedModel:
 
 
 # ---------------------------------------------------------------------------
+# native snapshots of imported checkpoints
+# ---------------------------------------------------------------------------
+IMPORT_SNAPSHOT_FORMAT = "imported_reference_v1"
+
+
+def save_imported_snapshot(imported: ImportedModel, path: str) -> None:
+    """Persist a converted reference checkpoint as ONE self-describing
+    msgpack payload: params + BN running stats + the architecture metadata
+    (model_kind / arch_flavor / arch_kwargs incl. the fidelity flags
+    ref_token_grid / ref_ftl_layout / dilation).
+
+    A bare params dump would be shape-compatible with a config-built model
+    yet silently wrong (flavour/dilation drift) or unusable (BN families
+    lose their running stats) — the payload keeps the checkpoint
+    self-contained so ``Predictor.from_checkpoint`` rebuilds the exact
+    module without the original reference file.
+    """
+    import json as _json
+
+    from flax import serialization
+
+    payload = {
+        "format": IMPORT_SNAPSHOT_FORMAT,
+        "params": imported.params,
+        "batch_stats": imported.batch_stats or {},
+        "meta": _json.dumps({
+            "model_kind": imported.model_kind,
+            "arch_flavor": imported.arch_flavor,
+            "arch_kwargs": imported.arch_kwargs,
+        }),
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(serialization.to_bytes(payload))
+    import os
+
+    os.replace(tmp, path)
+
+
+def load_imported_snapshot(path: str) -> ImportedModel | None:
+    """Load a :func:`save_imported_snapshot` payload; ``None`` when ``path``
+    is not one (other msgpack snapshots, reference files, garbage)."""
+    import json as _json
+
+    from flax import serialization
+
+    try:
+        with open(path, "rb") as f:
+            restored = serialization.msgpack_restore(f.read())
+    except Exception:
+        return None
+    if not (isinstance(restored, dict)
+            and restored.get("format") == IMPORT_SNAPSHOT_FORMAT):
+        return None
+    meta = _json.loads(restored["meta"])
+    return ImportedModel(
+        params=restored["params"],
+        model_kind=meta["model_kind"],
+        arch_flavor=meta["arch_flavor"],
+        arch_kwargs=meta["arch_kwargs"],
+        batch_stats=restored.get("batch_stats") or None,
+    )
+
+
+# ---------------------------------------------------------------------------
 # entry point
 # ---------------------------------------------------------------------------
-def import_reference_checkpoint(path: str) -> ImportedModel:
-    """Auto-detecting importer: keras ``.h5`` vs torch ``.pth``/``.pt``."""
+def import_reference_checkpoint(
+    path: str, dim_head: int | None = None
+) -> ImportedModel:
+    """Auto-detecting importer: keras ``.h5`` vs torch ``.pth``/``.pt``.
+
+    ``dim_head``: explicit head-split override for torch ViT checkpoints
+    whose (heads, dim_head) factorisation is shape-ambiguous.
+    """
     import h5py
 
     if h5py.is_hdf5(path):
         return import_keras_h5(path)
-    return import_torch_checkpoint(path)
+    return import_torch_checkpoint(path, dim_head=dim_head)

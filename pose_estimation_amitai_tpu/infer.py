@@ -351,12 +351,25 @@ class Predictor:
         if isinstance(cfg, str):
             cfg = Config.from_json(cfg)
         import_reference = kw.pop("import_reference", False)
-        from .importers import is_reference_checkpoint
+        dim_head = kw.pop("dim_head", None)
+        from .importers import (
+            is_reference_checkpoint,
+            load_imported_snapshot,
+        )
 
+        imported = None
         if import_reference or is_reference_checkpoint(checkpoint_path):
             from .importers import import_reference_checkpoint
 
-            imported = import_reference_checkpoint(checkpoint_path)
+            imported = import_reference_checkpoint(
+                checkpoint_path, dim_head=dim_head
+            )
+        else:
+            # a native snapshot written by `cli import` carries the exact
+            # architecture metadata + BN stats alongside the params —
+            # rebuild from that, never from the (possibly drifted) config
+            imported = load_imported_snapshot(checkpoint_path)
+        if imported is not None:
             in_ch = imported.arch_kwargs.get("in_channels")
             if in_ch is not None and in_ch != image_shape[-1]:
                 raise ValueError(

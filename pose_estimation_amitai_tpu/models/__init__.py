@@ -193,7 +193,7 @@ def build_model(
     if mt == C.RESNET_18_POINTS_PER_WING:
         return ResNetHeatmapNet(
             out_channels=num_output_channels, kernel_size=cfg.kernel_size,
-            dtype=dtype,
+            flavor=cfg.resnet_flavor, dtype=dtype,
         )
     if mt == C.GPTNET:
         # pytorch/Network.py:15-26 routes GPTNET to the hand-written

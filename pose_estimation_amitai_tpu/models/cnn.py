@@ -76,6 +76,12 @@ class C2FPerWing(nn.Module):
     dilation: int = 2
     dropout: float = 0.5
     num_blocks: int = 2
+    # The frozen coarse stage was trained separately (its .h5 rides inside
+    # the reference C2F save), so its width/depth may differ from the fine
+    # stack's: None/0 = same filters as the fine stage; the reference pins
+    # the coarse pyramid at 3 blocks (tensorflow/Network.py:147 "important!").
+    coarse_filters: int | None = None
+    coarse_num_blocks: int = 3
     flavor: str = "tf"
     dtype: Dtype = jnp.bfloat16
 
@@ -83,8 +89,10 @@ class C2FPerWing(nn.Module):
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         coarse = CoarsePerWing(
             out_channels=self.coarse_out_channels,
-            filters=self.filters, kernel_size=self.kernel_size,
+            filters=self.coarse_filters or self.filters,
+            kernel_size=self.kernel_size,
             dilation=self.dilation, dropout=self.dropout,
+            num_blocks=self.coarse_num_blocks,
             dtype=self.dtype, name="coarse",
         )
         coarse_maps = jax.lax.stop_gradient(coarse(x, train=False))

@@ -140,6 +140,8 @@ def load_params(path: str, template=None):
     restored = serialization.msgpack_restore(data)
     if isinstance(restored, dict) and {"params", "opt_state"} <= set(restored):
         restored = restored["params"]  # full TrainState payload
+    elif isinstance(restored, dict) and "format" in restored:
+        restored = restored["params"]  # imported-reference snapshot payload
     restored = jax.tree_util.tree_map(jnp.asarray, restored)
     if template is not None:
         return serialization.from_state_dict(template, restored)
@@ -161,7 +163,10 @@ def load_variables(path: str, params_template=None):
     with open(path, "rb") as f:
         restored = serialization.msgpack_restore(f.read())
     batch_stats = {}
-    if isinstance(restored, dict) and {"params", "opt_state"} <= set(restored):
+    if isinstance(restored, dict) and (
+        {"params", "opt_state"} <= set(restored)
+        or "format" in restored  # imported-reference snapshot payload
+    ):
         batch_stats = restored.get("batch_stats", {}) or {}
         restored = restored["params"]
     restored = jax.tree_util.tree_map(jnp.asarray, restored)

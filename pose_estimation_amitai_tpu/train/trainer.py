@@ -30,6 +30,7 @@ from datetime import date
 from time import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .. import viz
@@ -272,24 +273,71 @@ class Trainer:
             if enc_key:
                 from ..importers import is_reference_checkpoint
 
+                loaded_stats = {}
                 if is_reference_checkpoint(cfg.pretrained_encoder_path):
-                    # reference self-supervision weights (raw BasicNet
-                    # state_dict / checkpoint.pth — the PretrainedLEAP
-                    # re-heading flow, NNs warehouse/NNs.py:38-62):
-                    # convert on the fly and take the encoder subtree
+                    # reference weights: self-supervision BasicNet saves
+                    # (the PretrainedLEAP re-heading flow, NNs warehouse/
+                    # NNs.py:38-62) or a torchvision resnet50 trunk
+                    # (ImageNet init, NNs.py:20 pretrained=True) — convert
+                    # on the fly and take the encoder subtree + BN stats
                     from ..importers import import_reference_checkpoint
 
-                    loaded_all = import_reference_checkpoint(
+                    imported = import_reference_checkpoint(
                         cfg.pretrained_encoder_path
-                    ).params
+                    )
+                    loaded_all = imported.params
+                    loaded_stats = imported.batch_stats or {}
                 else:
                     loaded_all = ckpt.load_params(cfg.pretrained_encoder_path)
                 src = loaded_all.get("encoder", loaded_all)
+                tgt = params[enc_key]
+                stem = src.get("stem") if isinstance(src, dict) else None
+                if (
+                    stem is not None and "stem" in tgt
+                    and stem["kernel"].shape[2]
+                    != tgt["stem"]["kernel"].shape[2]
+                ):
+                    # ImageNet trunks have a 3-channel stem; this dataset's
+                    # frames are 4+ channels — inflate by channel-mean
+                    # replication (importers.adapt_stem_in_channels)
+                    from ..importers import adapt_stem_in_channels
+
+                    src = dict(src)
+                    src["stem"] = {
+                        **stem,
+                        "kernel": adapt_stem_in_channels(
+                            np.asarray(stem["kernel"]),
+                            int(tgt["stem"]["kernel"].shape[2]),
+                        ),
+                    }
+                tgt_flat = jax.tree_util.tree_flatten_with_path(tgt)[0]
+                src_flat = jax.tree_util.tree_leaves(src)
+                mismatches = [
+                    f"{jax.tree_util.keystr(kp)}: {tuple(t.shape)} vs "
+                    f"{tuple(np.shape(v))}"
+                    for (kp, t), v in zip(tgt_flat, src_flat)
+                    if tuple(t.shape) != tuple(np.shape(v))
+                ] if len(tgt_flat) == len(src_flat) else []
+                if mismatches:
+                    raise ValueError(
+                        "pretrained encoder shapes do not match the "
+                        f"model's (is resnet_flavor/arch set right?): "
+                        + "; ".join(mismatches[:5])
+                    )
                 params = dict(params)
                 params[enc_key] = jax.tree_util.tree_map(
-                    lambda t, v: v.astype(t.dtype), params[enc_key], src
+                    lambda t, v: jnp.asarray(v).astype(t.dtype), tgt, src
                 )
                 self.state = self.state.replace(params=params)
+                enc_stats = (loaded_stats or {}).get("encoder")
+                if enc_stats and isinstance(self.state.batch_stats, dict) \
+                        and "encoder" in self.state.batch_stats:
+                    bs = dict(self.state.batch_stats)
+                    bs["encoder"] = jax.tree_util.tree_map(
+                        lambda t, v: jnp.asarray(v).astype(t.dtype),
+                        bs["encoder"], enc_stats,
+                    )
+                    self.state = self.state.replace(batch_stats=bs)
 
     def _create_run_folders(self) -> str:
         """Auto-suffixed run dir + code snapshot

@@ -153,8 +153,145 @@ def paths(model, params, scales):
             ("int8_resident", qr, PEAK_INT8_TOPS, 1.0))
 
 
+# ---------------------------------------------------------------------------
+# train-step MFU (round-3 verdict weak #3: serving-only accounting)
+# ---------------------------------------------------------------------------
+TRAIN_B = 256
+TRAIN_K_SMALL, TRAIN_K_LARGE = 2, 8
+
+
+def build_train(augment: bool, rotation: float = 15.0):
+    """The exact bench.py train-step program (batch 256, flagship, full
+    on-device augmentation + MSE + Adam), as (run_fn, args, n_frames)."""
+    from pose_estimation_amitai_tpu.train.loop import (
+        create_train_state,
+        make_train_step,
+    )
+
+    hw, in_ch, out_ch, n_data = 192, 4, 18, 2048
+    cfg = Config(
+        batch_size=TRAIN_B, do_augmentations=augment,
+        rotation_range=rotation, xy_shifts=10.0, zoom_range=(0.9, 1.1),
+        dropout_ratio=0.0,
+    )
+    model = build_model(cfg, (hw, hw, in_ch), out_ch)
+    rng = np.random.default_rng(0)
+    data = {
+        "box": jnp.asarray(rng.random((n_data, hw, hw, in_ch), np.float32)),
+        "peaks": jnp.asarray(
+            rng.uniform(20, hw - 20, (n_data, out_ch, 2)).astype(np.float32)
+        ),
+        "peak_vals": jnp.ones((n_data, out_ch), jnp.float32),
+    }
+    sample = {"image": jnp.zeros((TRAIN_B, hw, hw, in_ch), jnp.float32)}
+    state = create_train_state(model, cfg, sample)
+    train_step = make_train_step(model, cfg)
+
+    def make(K):
+        idx_all = jnp.asarray(
+            rng.integers(0, n_data, (K, 1, TRAIN_B)).astype(np.int32)
+        )
+
+        def run(state, data):
+            def body(st, idx):
+                st, loss = train_step(st, data, idx, 1.0)
+                return st, loss
+
+            _, losses = jax.lax.scan(body, state, idx_all)
+            return losses
+
+        return run
+
+    return make, state, data
+
+
+def analyze_train(augment: bool):
+    """FLOPs/frame of ONE train step from XLA HLO cost analysis (CPU)."""
+    make, state, data = build_train(augment)
+    run1 = make(1)
+    low = jax.jit(run1).lower(state, data)
+    ca = low.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    return float(ca.get("flops", 0.0)) / TRAIN_B if ca else 0.0
+
+
+def measure_train(augment: bool, rotation: float = 15.0) -> float:
+    make, state, data = build_train(augment, rotation)
+    progs = {}
+    for K in (TRAIN_K_SMALL, TRAIN_K_LARGE):
+        progs[K] = jax.jit(make(K)).lower(state, data).compile()
+
+    def timed(K):
+        t0 = time.perf_counter()
+        np.asarray(progs[K](state, data))
+        return time.perf_counter() - t0
+
+    np.asarray(progs[TRAIN_K_SMALL](state, data))
+    np.asarray(progs[TRAIN_K_LARGE](state, data))
+    t_s = min(timed(TRAIN_K_SMALL) for _ in range(3))
+    t_l = min(timed(TRAIN_K_LARGE) for _ in range(3))
+    return (TRAIN_K_LARGE - TRAIN_K_SMALL) * TRAIN_B / (t_l - t_s)
+
+
+def main_train():
+    """Train-step MFU: measured fps (aug on/off) x analytic FLOPs/frame."""
+    import os
+    import subprocess
+
+    if "--analyze" in sys.argv:
+        out = {
+            "aug": analyze_train(True),
+            "noaug": analyze_train(False),
+        }
+        print("ANALYSIS " + json.dumps(out))
+        return
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="")
+    proc = subprocess.run(
+        [sys.executable, __file__, "--train", "--analyze"], env=env,
+        capture_output=True, text=True, timeout=2400, cwd="/root/repo",
+    )
+    analysis = {}
+    for line in proc.stdout.splitlines():
+        if line.startswith("ANALYSIS "):
+            analysis = json.loads(line[len("ANALYSIS "):])
+    if not analysis:
+        print(f"[roofline --train] analysis failed: {proc.stdout[-300:]} "
+              f"{proc.stderr[-300:]}", file=sys.stderr)
+
+    rows = []
+    for name, augment in (("train_aug15", True), ("train_noaug", False)):
+        fps = measure_train(augment)
+        flops_pf = analysis.get("aug" if augment else "noaug", 0.0)
+        tflops = fps * flops_pf / 1e12
+        row = {
+            "path": name, "fps": round(fps, 1),
+            "gflops_per_frame": round(flops_pf / 1e9, 2),
+            "achieved_tflops": round(tflops, 1),
+            "mxu_util_pct": round(100 * tflops / PEAK_BF16_TFLOPS, 1),
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    if len(rows) == 2 and rows[0]["fps"] and rows[1]["fps"]:
+        aug_ms = (1.0 / rows[0]["fps"] - 1.0 / rows[1]["fps"]) * TRAIN_B * 1e3
+        print(f"augmentation cost at batch {TRAIN_B}: {aug_ms:.1f} ms/step",
+              file=sys.stderr)
+    print("\n| path | fps | GFLOP/frame | TFLOP/s | MXU util |",
+          file=sys.stderr)
+    print("|---|---|---|---|---|", file=sys.stderr)
+    for r in rows:
+        print(f"| {r['path']} | {r['fps']:,.0f} | {r['gflops_per_frame']} |"
+              f" {r['achieved_tflops']} | {r['mxu_util_pct']}% |",
+              file=sys.stderr)
+
+
 def main():
     import subprocess
+
+    if "--train" in sys.argv:
+        main_train()
+        return
 
     model, params, scales, base = build()
 

@@ -31,6 +31,18 @@ assert jax.devices()[0].platform == "cpu", "tests must run on CPU devices"
 assert len(jax.devices()) >= 8, "virtual 8-device mesh missing (XLA_FLAGS)"
 
 
+def pytest_report_header(config):
+    """Make the quick-gate default loud (advisor r3: targeted single-file
+    runs silently deselect non-quick tests via pytest.ini addopts)."""
+    if getattr(config.option, "markexpr", "") == "quick":
+        return [
+            "NOTE: pytest.ini addopts selects ONLY -m quick (the CI gate "
+            "subset). Non-quick tests in this run are DESELECTED — use "
+            'jobs/test_full.sh or `pytest -m ""` for the full suite.'
+        ]
+    return []
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

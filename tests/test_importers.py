@@ -494,6 +494,476 @@ def test_keras_all_4_cams_h5_roundtrip(tmp_path):
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
 
 
+def _write_keras_h5_nested_c2f(path, enc1, dec1, enc2, dec2):
+    """Emit the C2F_per_wing save layout (tensorflow/Network.py:169-198):
+    the frozen coarse model rides as a NESTED sub-model group (its own
+    ``layer_names`` attr), followed by the fine stack's sub-models."""
+    import h5py
+
+    with h5py.File(path, "w") as f:
+        mw = f.create_group("model_weights")
+        mw.attrs["layer_names"] = [
+            b"x_in", b"coarse_per_wing", b"concatenate",
+            b"Encoder2DAtrous2", b"Decoder2D2",
+        ]
+        mw.create_group("x_in")
+        mw.create_group("concatenate")
+
+        def fill(parent, gname, weights):
+            g = parent.create_group(gname)
+            names = []
+            for i, (kern, bias) in enumerate(weights):
+                lname = "conv2d" if i == 0 else f"conv2d_{i}"
+                kn = f"{gname}/{lname}/kernel:0"
+                bn = f"{gname}/{lname}/bias:0"
+                g.create_dataset(kn, data=kern)
+                g.create_dataset(bn, data=bias)
+                names += [kn.encode(), bn.encode()]
+            g.attrs["weight_names"] = names
+
+        nested = mw.create_group("coarse_per_wing")
+        nested.attrs["layer_names"] = [b"Encoder2DAtrous1", b"Decoder2D1"]
+        fill(nested, "Encoder2DAtrous1", enc1)
+        fill(nested, "Decoder2D1", dec1)
+        fill(mw, "Encoder2DAtrous2", enc2)
+        fill(mw, "Decoder2D2", dec2)
+
+
+@pytest.mark.quick
+def test_keras_c2f_h5_roundtrip(tmp_path):
+    """C2F_per_wing .h5 (tensorflow/Network.py:169-198): the frozen coarse
+    basic_nn stack (always nb=3, Network.py:147) nested inside the save,
+    then the fine stack over concat(x, coarse confmaps) — split detected
+    from the kernel sequence, routed to C2FPerWing, parity vs composed
+    keras oracles."""
+    rng = np.random.default_rng(21)
+    cin, coarse_out, fine_out = 4, 5, 6
+    f0c, nb1 = 4, 3
+    f0f, nb2 = 8, 2
+    enc1, dec1 = _gen_keras_cnn_weights(rng, f0c, cin, coarse_out, nb1)
+    enc2, dec2 = _gen_keras_cnn_weights(rng, f0f, cin + coarse_out,
+                                        fine_out, nb2)
+    path = str(tmp_path / "c2f.h5")
+    _write_keras_h5_nested_c2f(path, enc1, dec1, enc2, dec2)
+
+    imported = import_reference_checkpoint(path)
+    assert imported.model_kind == "c2f"
+    assert imported.arch_flavor == "tf"
+    kw = imported.arch_kwargs
+    assert kw["coarse_num_blocks"] == nb1 and kw["num_blocks"] == nb2
+    assert kw["coarse_out_channels"] == coarse_out
+    assert kw["out_channels"] == fine_out
+    assert kw["coarse_filters"] == f0c and kw["filters"] == f0f
+    assert kw["in_channels"] == cin
+
+    x = rng.random((2, 48, 48, cin)).astype(np.float32)
+    coarse_maps = _keras_oracle(x, enc1, dec1, nb1)
+    ref = _keras_oracle(np.concatenate([x, coarse_maps], -1), enc2, dec2,
+                        nb2)
+    model = imported.build_model(dtype=jnp.float32)
+    got = np.asarray(model.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, imported.params)},
+        jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.quick
+def test_keras_coarse_per_wing_imports_as_basic(tmp_path):
+    """coarse_per_wing .h5 (tensorflow/Network.py:147-167) is structurally
+    a basic_nn at num_blocks=3 — pinned to import via the basic_cnn path
+    with the 3-block pyramid recovered from the weight sequence."""
+    rng = np.random.default_rng(22)
+    f0, cin, cout, nb = 4, 4, 7, 3
+    enc, dec = _gen_keras_cnn_weights(rng, f0, cin, cout, nb)
+    path = str(tmp_path / "coarse.h5")
+    _write_keras_h5(path, enc, dec)
+
+    imported = import_reference_checkpoint(path)
+    assert imported.model_kind == "basic_cnn"
+    assert imported.arch_flavor == "tf"
+    assert imported.arch_kwargs["num_blocks"] == 3
+
+    x = rng.random((2, 48, 48, cin)).astype(np.float32)
+    ref = _keras_oracle(x, enc, dec, nb)
+    model = imported.build_model(dtype=jnp.float32)
+    got = np.asarray(model.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, imported.params)},
+        jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# keras resnet50_encoder_shallow_decoder (tensorflow/Network.py:377-414)
+# ---------------------------------------------------------------------------
+def _gen_keras_resnet_weights(rng, stem=4, stage_sizes=(3, 4, 6, 3),
+                              cin=4, cout=3, k=3):
+    """Random keras-applications-ResNet50-layout trunk + 5 deconvs."""
+
+    def conv(i, o, kk):
+        return {"kernel": rng.normal(0, 0.1, (kk, kk, i, o)).astype(np.float32),
+                "bias": rng.normal(0, 0.02, (o,)).astype(np.float32)}
+
+    def bnw(c):
+        return {"gamma": rng.uniform(0.5, 1.5, c).astype(np.float32),
+                "beta": rng.normal(0, 0.1, c).astype(np.float32),
+                "moving_mean": rng.normal(0, 0.1, c).astype(np.float32),
+                "moving_variance": rng.uniform(0.5, 1.5, c).astype(np.float32)}
+
+    entries = [("conv1_conv", conv(cin, stem, 7)), ("conv1_bn", bnw(stem))]
+    c = stem
+    for s, blocks in enumerate(stage_sizes):
+        filters = stem * 2 ** s
+        for b in range(1, blocks + 1):
+            name = f"conv{s + 2}_block{b}"
+            if b == 1:
+                entries += [(f"{name}_0_conv", conv(c, 4 * filters, 1)),
+                            (f"{name}_0_bn", bnw(4 * filters))]
+            entries += [(f"{name}_1_conv", conv(c, filters, 1)),
+                        (f"{name}_1_bn", bnw(filters)),
+                        (f"{name}_2_conv", conv(filters, filters, 3)),
+                        (f"{name}_2_bn", bnw(filters)),
+                        (f"{name}_3_conv", conv(filters, 4 * filters, 1)),
+                        (f"{name}_3_bn", bnw(4 * filters))]
+            c = 4 * filters
+    deconvs, dc = [], c
+    for _ in range(4):
+        o = dc // 2
+        deconvs.append((rng.normal(0, 0.1, (k, k, o, dc)).astype(np.float32),
+                        rng.normal(0, 0.02, (o,)).astype(np.float32)))
+        dc = o
+    deconvs.append((rng.normal(0, 0.1, (k, k, cout, dc)).astype(np.float32),
+                    rng.normal(0, 0.02, (cout,)).astype(np.float32)))
+    return entries, deconvs
+
+
+def _write_keras_resnet_h5(path, entries, deconvs):
+    """resnet50_encoder_shallow_decoder save layout: the keras ResNet50
+    rides as ONE nested sub-model group; deconvs are top-level layers."""
+    import h5py
+
+    with h5py.File(path, "w") as f:
+        mw = f.create_group("model_weights")
+        dec_names = ["conv2d_transpose" if i == 0 else f"conv2d_transpose_{i}"
+                     for i in range(len(deconvs))]
+        mw.attrs["layer_names"] = [b"x_in", b"resnet50"] + [
+            n.encode() for n in dec_names]
+        mw.create_group("x_in")
+        g = mw.create_group("resnet50")
+        wn = []
+        for lay, parts in entries:
+            for leaf, arr in parts.items():
+                n = f"{lay}/{leaf}:0"
+                g.create_dataset(n, data=arr)
+                wn.append(n.encode())
+        g.attrs["weight_names"] = wn
+        for lname, (kern, bias) in zip(dec_names, deconvs):
+            g2 = mw.create_group(lname)
+            g2.create_dataset(f"{lname}/kernel:0", data=kern)
+            g2.create_dataset(f"{lname}/bias:0", data=bias)
+            g2.attrs["weight_names"] = [f"{lname}/kernel:0".encode(),
+                                        f"{lname}/bias:0".encode()]
+
+
+def _keras_resnet_oracle(x, entries, deconvs, stage_sizes):
+    """Independent lax-op oracle of the keras-applications ResNet50 v1
+    graph (explicit (3,3)/(1,1) stem/pool zero-pads, biased convs,
+    BN eps 1.001e-5, stride on block1's FIRST 1x1) + the reference's
+    5 LeakyReLU(0.01) deconvs (tensorflow/Network.py:377-414)."""
+    d = dict(entries)
+    eps = 1.001e-5
+
+    def conv(v, name, stride=1, same=False):
+        w, b = d[name]["kernel"], d[name]["bias"]
+        return lax.conv_general_dilated(
+            v, jnp.asarray(w), (stride, stride),
+            "SAME" if same else "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+
+    def bn(v, name):
+        p = d[name]
+        return (p["gamma"] * (v - p["moving_mean"])
+                / np.sqrt(p["moving_variance"] + eps) + p["beta"])
+
+    v = jnp.asarray(np.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0))))
+    v = jax.nn.relu(bn(conv(v, "conv1_conv", 2), "conv1_bn"))
+    v = jnp.pad(v, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                constant_values=-np.inf)
+    v = lax.reduce_window(v, -jnp.inf, lax.max, (1, 3, 3, 1),
+                          (1, 2, 2, 1), "VALID")
+    for s, blocks in enumerate(stage_sizes):
+        for b in range(1, blocks + 1):
+            name = f"conv{s + 2}_block{b}"
+            stride = 2 if (s > 0 and b == 1) else 1
+            if b == 1:
+                sc = bn(conv(v, f"{name}_0_conv", stride), f"{name}_0_bn")
+            else:
+                sc = v
+            y = jax.nn.relu(bn(conv(v, f"{name}_1_conv", stride),
+                               f"{name}_1_bn"))
+            y = jax.nn.relu(bn(conv(y, f"{name}_2_conv", same=True),
+                               f"{name}_2_bn"))
+            y = bn(conv(y, f"{name}_3_conv"), f"{name}_3_bn")
+            v = jax.nn.relu(y + sc)
+    for kern, bias in deconvs:
+        v = _k_leaky(_k_tf_deconv(v, kern, bias))
+    return np.asarray(v)
+
+
+@pytest.mark.quick
+def test_keras_resnet50_h5_roundtrip(tmp_path):
+    """resnet50_encoder_shallow_decoder .h5: keras ResNet50 trunk (BN
+    running stats included) + 5 deconvs -> ResNetHeatmapNet(flavor='tf'),
+    output parity vs an independent lax oracle of the keras graph."""
+    rng = np.random.default_rng(31)
+    stem, stages, cin, cout = 4, (3, 4, 6, 3), 4, 3
+    entries, deconvs = _gen_keras_resnet_weights(rng, stem, stages, cin, cout)
+    path = str(tmp_path / "resnet.h5")
+    _write_keras_resnet_h5(path, entries, deconvs)
+
+    imported = import_reference_checkpoint(path)
+    assert imported.model_kind == "resnet"
+    assert imported.arch_flavor == "tf"
+    kw = imported.arch_kwargs
+    assert kw["stem_features"] == stem
+    assert kw["stage_sizes"] == list(stages)
+    assert kw["out_channels"] == cout and kw["in_channels"] == cin
+    assert imported.batch_stats and "encoder" in imported.batch_stats
+
+    x = rng.random((2, 64, 64, cin)).astype(np.float32)
+    ref = _keras_resnet_oracle(x, entries, deconvs, stages)
+    model = imported.build_model(dtype=jnp.float32)
+    variables = {
+        "params": jax.tree_util.tree_map(jnp.asarray, imported.params),
+        "batch_stats": jax.tree_util.tree_map(jnp.asarray,
+                                              imported.batch_stats),
+    }
+    got = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# torchvision resnet50 state_dict -> ImageNet encoder init
+# (pytorch/NNs warehouse/NNs.py:20 models.resnet50(pretrained=True))
+# ---------------------------------------------------------------------------
+class _TVBottleneck(nn.Module):
+    """torchvision Bottleneck structure/naming (v1.5: stride on conv2)."""
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None):
+        super().__init__()
+        self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, stride=stride,
+                               padding=1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(planes * 4)
+        self.relu = nn.ReLU()
+        self.downsample = downsample
+
+    def forward(self, x):
+        identity = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return self.relu(out + identity)
+
+
+class _TVResNet50(nn.Module):
+    """torchvision ``resnet50`` attribute layout (conv1/bn1/layer1-4/fc)
+    so ``state_dict()`` keys match torchvision's exactly."""
+
+    def __init__(self, layers=(3, 4, 6, 3)):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.relu = nn.ReLU()
+        self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
+        inplanes = 64
+        for i, (planes, n) in enumerate(zip((64, 128, 256, 512), layers)):
+            stride = 1 if i == 0 else 2
+            ds = nn.Sequential(
+                nn.Conv2d(inplanes, planes * 4, 1, stride=stride,
+                          bias=False),
+                nn.BatchNorm2d(planes * 4),
+            )
+            blocks = [_TVBottleneck(inplanes, planes, stride, ds)]
+            inplanes = planes * 4
+            blocks += [_TVBottleneck(inplanes, planes)
+                       for _ in range(1, n)]
+            setattr(self, f"layer{i + 1}", nn.Sequential(*blocks))
+        self.fc = nn.Linear(inplanes, 10)  # present in sd, must be ignored
+
+    def forward(self, x):
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        return self.layer4(self.layer3(self.layer2(self.layer1(x))))
+
+
+def _randomize_torch(m, rng_seed=0):
+    torch.manual_seed(rng_seed)
+    with torch.no_grad():
+        for p in m.parameters():
+            p.normal_(0, 0.05)
+        for mod in m.modules():
+            if isinstance(mod, nn.BatchNorm2d):
+                mod.running_mean.normal_(0, 0.1)
+                mod.running_var.uniform_(0.5, 1.5)
+
+
+@pytest.mark.quick
+def test_torchvision_resnet50_encoder_import(tmp_path):
+    """A torchvision-layout resnet50 state_dict imports as encoder init
+    (model_kind 'resnet_encoder') with EXACT trunk parity against the
+    torch model — flavor='torch' pins the stem/pool/stride-2 padding
+    phase torchvision uses (XLA SAME pads the opposite side)."""
+    from pose_estimation_amitai_tpu.models.resnet import ResNet50Encoder
+
+    layers = (1, 1, 1, 1)  # torchvision key layout, test-sized depth
+    m = _TVResNet50(layers)
+    _randomize_torch(m, 7)
+    m.eval()
+    path = str(tmp_path / "tv_resnet50.pth")
+    torch.save(m.state_dict(), path)
+
+    imported = import_reference_checkpoint(path)
+    assert imported.model_kind == "resnet_encoder"
+    assert imported.arch_flavor == "torch"
+    assert imported.arch_kwargs["stage_sizes"] == list(layers)
+    assert imported.arch_kwargs["in_channels"] == 3
+
+    x = torch.randn(2, 3, 64, 64)
+    with torch.no_grad():
+        ref = m(x).numpy()
+
+    enc = ResNet50Encoder(stage_sizes=layers, flavor="torch",
+                          dtype=jnp.float32)
+    variables = {
+        "params": jax.tree_util.tree_map(
+            jnp.asarray, imported.params["encoder"]),
+        "batch_stats": jax.tree_util.tree_map(
+            jnp.asarray, imported.batch_stats["encoder"]),
+    }
+    got = np.asarray(enc.apply(
+        variables, jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1))),
+        train=False))
+    np.testing.assert_allclose(np.transpose(got, (0, 3, 1, 2)), ref,
+                               rtol=2e-3, atol=2e-4)
+
+    # building a full model from an encoder-only import must fail loudly
+    with pytest.raises(ValueError, match="ENCODER-INIT"):
+        imported.build_model()
+
+
+@pytest.mark.quick
+def test_trainer_imagenet_resnet_encoder_init(tmp_path):
+    """End-to-end warehouse capability (pytorch/NNs warehouse/NNs.py:20
+    ``models.resnet50(pretrained=True)``): config ``resnet_flavor='torch'``
+    + ``pretrained_encoder_path`` -> torchvision state_dict grafts the
+    trunk weights AND BN running stats into the trainer's state, with the
+    3-channel stem inflated to the dataset's channel count."""
+    from pose_estimation_amitai_tpu import constants as C
+    from pose_estimation_amitai_tpu.config import Config
+    from pose_estimation_amitai_tpu.data.synthetic import (
+        make_synthetic_arrays,
+    )
+    from pose_estimation_amitai_tpu.importers import adapt_stem_in_channels
+    from pose_estimation_amitai_tpu.train.trainer import Trainer
+
+    m = _TVResNet50()  # full torchvision depth: matches the default trunk
+    _randomize_torch(m, 11)
+    path = str(tmp_path / "imagenet_resnet50.pth")
+    torch.save(m.state_dict(), path)
+
+    cfg = Config(
+        model_type=C.RESNET_18_POINTS_PER_WING, resnet_flavor="torch",
+        pretrained_encoder_path=path, epochs=1, batch_size=2,
+        batches_per_epoch=1, base_output_path=str(tmp_path / "runs"),
+        do_augmentations=False, val_fraction=0.5, seed=0,
+    )
+    arrays = make_synthetic_arrays(num_frames=4, num_points=6,
+                                   image_size=48, seed=0)
+    trainer = Trainer(cfg, arrays=arrays)
+
+    enc = trainer.state.params["encoder"]
+    tv_stem = np.transpose(m.state_dict()["conv1.weight"].numpy(),
+                           (2, 3, 1, 0))
+    want = adapt_stem_in_channels(tv_stem, enc["stem"]["kernel"].shape[2])
+    np.testing.assert_allclose(np.asarray(enc["stem"]["kernel"],
+                                          np.float32), want, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(enc["stage0_block0"]["conv2"]["kernel"], np.float32),
+        np.transpose(m.state_dict()["layer1.0.conv2.weight"].numpy(),
+                     (2, 3, 1, 0)), rtol=1e-6)
+    bs = trainer.state.batch_stats["encoder"]
+    np.testing.assert_allclose(
+        np.asarray(bs["stem_bn"]["mean"], np.float32),
+        m.state_dict()["bn1.running_mean"].numpy(), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(bs["stage3_block0"]["bn3"]["var"], np.float32),
+        m.state_dict()["layer4.0.bn3.running_var"].numpy(), rtol=1e-6)
+
+
+@pytest.mark.quick
+def test_adapt_stem_in_channels_grayscale_parity():
+    """Channel inflation invariant: equal-channel (grayscale-replicated)
+    inputs produce exactly the original RGB-trunk response."""
+    from pose_estimation_amitai_tpu.importers import adapt_stem_in_channels
+
+    rng = np.random.default_rng(3)
+    k3 = rng.normal(0, 0.1, (7, 7, 3, 8)).astype(np.float32)
+    k4 = adapt_stem_in_channels(k3, 4)
+    assert k4.shape == (7, 7, 4, 8)
+    gray = rng.random((1, 16, 16, 1)).astype(np.float32)
+
+    def conv(v, k):
+        return np.asarray(lax.conv_general_dilated(
+            jnp.asarray(v), jnp.asarray(k), (2, 2), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")))
+
+    ref = conv(np.repeat(gray, 3, axis=-1), k3)
+    got = conv(np.repeat(gray, 4, axis=-1), k4)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.quick
+def test_import_snapshot_roundtrip(tmp_path):
+    """`cli import` writes a self-describing payload (params + BN stats +
+    arch metadata); Predictor.from_checkpoint rebuilds the exact model
+    from it — no reference file, no config-derived architecture
+    (advisor r3: a bare-params dump silently dropped batch_stats and the
+    fidelity flags)."""
+    from pose_estimation_amitai_tpu.cli import main as cli_main
+    from pose_estimation_amitai_tpu.importers import load_imported_snapshot
+    from pose_estimation_amitai_tpu.infer import Predictor
+    from pose_estimation_amitai_tpu.config import Config
+
+    rng = np.random.default_rng(33)
+    stem, stages, cin, cout = 4, (1, 1, 1, 1), 4, 3
+    entries, deconvs = _gen_keras_resnet_weights(rng, stem, stages, cin, cout)
+    ref_path = str(tmp_path / "resnet.h5")
+    _write_keras_resnet_h5(ref_path, entries, deconvs)
+    out_path = str(tmp_path / "imported.msgpack")
+    assert cli_main(["import", ref_path, out_path]) == 0
+
+    snap = load_imported_snapshot(out_path)
+    assert snap is not None and snap.model_kind == "resnet"
+    assert snap.arch_kwargs["stage_sizes"] == list(stages)
+    assert snap.batch_stats and "encoder" in snap.batch_stats
+
+    x = rng.random((2, 64, 64, cin)).astype(np.float32)
+    ref = _keras_resnet_oracle(x, entries, deconvs, stages)
+    # from_checkpoint on the SNAPSHOT (not the reference file): the model
+    # must come from the embedded metadata, not from cfg (whose defaults
+    # describe the flagship CNN)
+    pred = Predictor.from_checkpoint(
+        Config(), out_path, image_shape=(64, 64, cin),
+        chunk_size=2, return_heatmaps=True,
+    )
+    maps, _ = pred(x)
+    np.testing.assert_allclose(maps, ref, rtol=2e-2, atol=2e-3)
+
+
 @pytest.mark.quick
 def test_cli_infer_with_imported_reference_checkpoint(tmp_path):
     """End-to-end verdict item: ``cli infer --import-reference`` consumes a
@@ -536,13 +1006,11 @@ def test_cli_infer_with_imported_reference_checkpoint(tmp_path):
 
 @pytest.mark.quick
 def test_cli_import_subcommand_roundtrip(tmp_path):
-    """``cli import`` converts to a native msgpack snapshot that
-    Predictor.from_checkpoint restores (weights-only payload)."""
-    import json as _json
-
-    from flax import serialization
-
+    """``cli import`` converts to a self-describing native snapshot
+    (params + arch metadata, importers.save_imported_snapshot) that
+    load_imported_snapshot restores to the identical ImportedModel."""
     from pose_estimation_amitai_tpu.cli import main as cli_main
+    from pose_estimation_amitai_tpu.importers import load_imported_snapshot
 
     torch.manual_seed(4)
     net = _RefBasicNet(4, 6).eval()
@@ -554,12 +1022,15 @@ def test_cli_import_subcommand_roundtrip(tmp_path):
     assert rc == 0
 
     imported = import_torch_checkpoint(ckpt)
-    with open(out, "rb") as f:
-        restored = serialization.msgpack_restore(f.read())
+    snap = load_imported_snapshot(out)
+    assert snap is not None
+    assert snap.model_kind == imported.model_kind
+    assert snap.arch_flavor == imported.arch_flavor
+    assert snap.arch_kwargs == imported.arch_kwargs
     for tree in ("encoder", "decoder"):
         for k, v in imported.params[tree].items():
             np.testing.assert_array_equal(
-                restored[tree][k]["kernel"], v["kernel"])
+                snap.params[tree][k]["kernel"], v["kernel"])
 
 
 # ---------------------------------------------------------------------------
