@@ -308,6 +308,8 @@ def _bench_family(model_type: str, in_ch: int, out_ch: int, cams: int,
         model = model.clone(fold_views=False)  # large-batch regime
     if getattr(model, "normalize_output", None) is True:
         model = model.clone(normalize_output=False)  # peaks-only serving
+    if getattr(model, "fast_softmax", None) is False:
+        model = model.clone(fast_softmax=True)  # bf16 softmax chain
     rng = np.random.default_rng(0)
     base = jnp.asarray(rng.random((batch, hw, hw, in_ch)), jnp.bfloat16)
     variables = model.init(

@@ -62,6 +62,7 @@ class Predictor:
         cameras=None,
         quantized_layers: str | None = None,
         model=None,
+        fast_softmax: bool | None = None,
     ):
         """``decode``: 'argmax' (tf_find_peaks parity), 'soft' — the
         differentiable soft-argmax decoder (pytorch/utils.py:47-83) — or
@@ -133,6 +134,21 @@ class Predictor:
                 self._val_renorm_views = 1
             if self._val_renorm_views:
                 self.model = self.model.clone(normalize_output=False)
+        # ViT-family bf16 softmax chain for argmax peaks-only serving
+        # (models/vit.py Attention.fast_softmax): halves the HBM traffic of
+        # the profiled softmax bottleneck. Unlike the min-max skip above it
+        # is APPROXIMATE (bf16 logits, ~3 significant digits) — argmax
+        # decode parity is pinned in tests/test_models.py; pass
+        # ``fast_softmax=False`` to force the exact f32 softmax chain.
+        engage_fast = (
+            fast_softmax if fast_softmax is not None
+            else (decode == "argmax" and not return_heatmaps)
+        )
+        if (
+            engage_fast
+            and getattr(self.model, "fast_softmax", None) is False
+        ):
+            self.model = self.model.clone(fast_softmax=True)
         self._needs_cams = needs_camera_matrices(cfg.model_type)
         self.cameras = None
         if cameras is not None:

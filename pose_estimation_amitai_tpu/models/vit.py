@@ -48,6 +48,16 @@ class Attention(nn.Module):
     # tf flavour: keras MultiHeadAttention defaults to biased q/k/v
     # projections (vitPose.py:66-68)
     qkv_bias: bool = False
+    # Serving-only switch (infer.Predictor engages it for argmax peaks-only
+    # serving, like CNNDecoderViT.normalize_output): keep the softmax chain
+    # in bf16 with an f32 SUM accumulation instead of materialising the
+    # (B, H, N, N) logits in f32. Max-subtraction bounds exp to (0, 1]
+    # where bf16 carries ~3 significant digits, and the normaliser is
+    # accumulated in f32 — halves the HBM traffic of the profiled softmax
+    # bottleneck (DESIGN.md "ViT serving attribution": the f32 logits
+    # materialisation is the trunk's dominant non-matmul cost). Training
+    # and heatmap-returning paths keep the f32 softmax.
+    fast_softmax: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
@@ -60,8 +70,21 @@ class Attention(nn.Module):
         qkv = qkv.reshape(b, n, 3, self.heads, self.dim_head)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, D)
         scale = self.dim_head**-0.5
-        logits = jnp.einsum("bnhd,bmhd->bhnm", q, k).astype(jnp.float32) * scale
-        attn = nn.softmax(logits, axis=-1).astype(self.dtype)
+        if self.fast_softmax and not train:
+            # scale folded onto q (one (B,N,H,D) pass instead of the
+            # (B,H,N,N) logits pass); bf16 logits; f32 normaliser
+            qs = q * jnp.asarray(scale, q.dtype)
+            logits = jnp.einsum("bnhd,bmhd->bhnm", qs, k)
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            e = jnp.exp(logits - m)
+            s = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
+            attn = (e.astype(jnp.float32) / s).astype(self.dtype)
+        else:
+            logits = (
+                jnp.einsum("bnhd,bmhd->bhnm", q, k).astype(jnp.float32)
+                * scale
+            )
+            attn = nn.softmax(logits, axis=-1).astype(self.dtype)
         attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, inner)
         return nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
@@ -109,6 +132,7 @@ class Transformer(nn.Module):
     dropout: float = 0.0
     dtype: Dtype = jnp.bfloat16
     flavor: str = "torch"
+    fast_softmax: bool = False  # see Attention.fast_softmax (serving-only)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
@@ -117,6 +141,7 @@ class Transformer(nn.Module):
                 a = Attention(self.dim, self.heads, self.dim_head,
                               0.1,  # fixed attention dropout, vitPose.py:66
                               self.dtype, pre_norm=False, qkv_bias=True,
+                              fast_softmax=self.fast_softmax,
                               name=f"attn{i}")(x, train=train)
                 x = nn.LayerNorm(dtype=jnp.float32, name=f"postnorm{i}a")(
                     x + a
@@ -130,7 +155,8 @@ class Transformer(nn.Module):
             return x
         for i in range(self.depth):
             x = Attention(self.dim, self.heads, self.dim_head, self.dropout,
-                          self.dtype, name=f"attn{i}")(x, train=train) + x
+                          self.dtype, fast_softmax=self.fast_softmax,
+                          name=f"attn{i}")(x, train=train) + x
             x = FeedForward(self.dim, self.mlp_dim, self.dropout, self.dtype,
                             name=f"ff{i}")(x, train=train) + x
         return nn.LayerNorm(dtype=jnp.float32, name="final_norm")(x)
@@ -273,6 +299,7 @@ class ViTPoseNet(nn.Module):
     dtype: Dtype = jnp.bfloat16
     normalize_output: bool = True  # see CNNDecoderViT.normalize_output
     ref_token_grid: bool = False  # see CNNDecoderViT.ref_token_grid
+    fast_softmax: bool = False  # see Attention.fast_softmax (serving-only)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
@@ -282,6 +309,7 @@ class ViTPoseNet(nn.Module):
         tokens = Transformer(self.dim, self.depth, self.heads, self.dim_head,
                              self.dim * self.mlp_expand, self.dropout,
                              self.dtype, flavor=self.flavor,
+                             fast_softmax=self.fast_softmax,
                              name="transformer")(tokens, train=train)
         return CNNDecoderViT(self.out_channels, self.dim, self.kernel_size,
                              self.flavor, self.dtype,
@@ -300,12 +328,14 @@ class CrossAttentionFuse(nn.Module):
     input_dim: int
     output_dim: int
     dtype: Dtype = jnp.bfloat16
+    fast_softmax: bool = False  # see Attention.fast_softmax (serving-only)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         y = Transformer(self.input_dim, depth=1, heads=4,
                         dim_head=self.output_dim, mlp_dim=self.output_dim,
-                        dtype=self.dtype, name="transformer")(x, train=train)
+                        dtype=self.dtype, fast_softmax=self.fast_softmax,
+                        name="transformer")(x, train=train)
         y = nn.LayerNorm(dtype=jnp.float32, name="norm")(y)
         y = nn.Dense(self.output_dim, dtype=self.dtype,
                      param_dtype=jnp.float32, name="proj")(y)
@@ -331,6 +361,7 @@ class ViT4Cameras(nn.Module):
     dropout: float = 0.0
     dtype: Dtype = jnp.bfloat16
     normalize_output: bool = True  # see CNNDecoderViT.normalize_output
+    fast_softmax: bool = False  # see Attention.fast_softmax (serving-only)
     # Fold the 4 camera views into the BATCH axis for the shared encoder,
     # fusion blocks and decoder (one dispatch at 4x batch instead of 4
     # sequential passes; per-(sample, view) min-max normalisation is
@@ -348,8 +379,10 @@ class ViT4Cameras(nn.Module):
                            name="patch_embed")
         encoder = Transformer(self.dim, self.depth, self.heads, self.dim_head,
                               self.dim * self.mlp_expand, self.dropout,
-                              self.dtype, name="shared_encoder")
+                              self.dtype, fast_softmax=self.fast_softmax,
+                              name="shared_encoder")
         fuses = [CrossAttentionFuse(self.dim * 5, self.dim, self.dtype,
+                                    fast_softmax=self.fast_softmax,
                                     name=f"fuse{i}")
                  for i in range(self.num_fuse_layers)]
         decoder = CNNDecoderViT(self.out_channels // num_cams, self.dim,

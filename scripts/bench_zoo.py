@@ -94,6 +94,11 @@ def bench_one(key: str, budget_s: float = 420.0) -> dict:
         # infer.Predictor's argmax path): the ViT decoder's per-sample
         # min-max is monotonic -> argmax-invariant; skip its f32 HBM passes
         model = model.clone(normalize_output=False)
+    if getattr(model, "fast_softmax", None) is False and \
+            "--exact-softmax" not in sys.argv:
+        # bf16 softmax chain (argmax-parity pinned in tests/test_models.py)
+        # — mirrors infer.Predictor's argmax peaks-only serving default
+        model = model.clone(fast_softmax=True)
 
     rng = np.random.default_rng(0)
     base = jnp.asarray(rng.random((batch, hw, hw, in_ch)), jnp.bfloat16)

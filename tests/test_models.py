@@ -97,6 +97,54 @@ def test_tf_flavor_vit_is_post_ln():
     assert out.shape == (1, 48, 48, 6)
 
 
+@pytest.mark.quick
+def test_vit_fast_softmax_argmax_parity():
+    """Serving bf16 softmax chain (models/vit.py Attention.fast_softmax):
+    decoded argmax peaks must equal the exact f32-softmax path's, and the
+    heatmap values must agree to bf16 precision. Also pins that
+    infer.Predictor engages the flag for argmax peaks-only serving and
+    that ``fast_softmax=False`` forces the exact chain."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as _np
+
+    from pose_estimation_amitai_tpu.infer import Predictor
+    from pose_estimation_amitai_tpu.models.vit import ViTPoseNet
+    from pose_estimation_amitai_tpu.ops import peaks as peaks_ops
+
+    vit = ViTPoseNet(out_channels=6, patch_size=16, dim=64, depth=2,
+                     heads=2, dim_head=64, mlp_expand=2,
+                     normalize_output=False)
+    rng = _np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((4, 48, 48, 4)), jnp.float32)
+    params = vit.init({"params": jax.random.key(1)}, x, train=False)["params"]
+    exact = vit.apply({"params": params}, x, train=False)
+    fast = vit.clone(fast_softmax=True).apply(
+        {"params": params}, x, train=False
+    )
+    pe = _np.asarray(peaks_ops.find_peaks_with_vals(
+        jnp.asarray(exact, jnp.float32)))
+    pf = _np.asarray(peaks_ops.find_peaks_with_vals(
+        jnp.asarray(fast, jnp.float32)))
+    _np.testing.assert_array_equal(pe[:, :2], pf[:, :2])  # argmax parity
+    _np.testing.assert_allclose(
+        _np.asarray(fast, _np.float32), _np.asarray(exact, _np.float32),
+        rtol=0.05, atol=0.05,
+    )
+
+    cfg = Config(model_type=C.MODEL_18_POINTS_PER_WING_VIT,
+                 projection_dim=64, num_heads=2, transformer_layers=2,
+                 fully_connected_expand=2)
+    p_auto = Predictor(cfg, params, (48, 48, 4), 6, chunk_size=4,
+                       model=vit)
+    assert p_auto.model.fast_softmax is True
+    p_exact = Predictor(cfg, params, (48, 48, 4), 6, chunk_size=4,
+                        model=vit, fast_softmax=False)
+    assert p_exact.model.fast_softmax is False
+    xa = _np.asarray(x, _np.float32)
+    _np.testing.assert_array_equal(p_auto(xa)[:, :2], p_exact(xa)[:, :2])
+
+
 def test_torch_vit_decoder_normalisation_is_per_sample():
     """Per-sample min-max: the same image decodes identically regardless
     of what else is in the batch (the reference's batch-global min-max
