@@ -287,6 +287,46 @@ def test_torch_vit_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(_peaks(got), _peaks(ref))
 
 
+@pytest.mark.quick
+def test_torch_vit_dim_head_override(tmp_path):
+    """(heads, dim_head) is shape-ambiguous when inner is a multiple of
+    both dim and 64 (advisor r3): the default guess warns, and the
+    explicit ``dim_head`` override recovers the true split with exact
+    output parity."""
+
+    class _Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            # trained with 'dim head' falsy: dim_head=64, heads=2 at
+            # dim=128 -> inner=128 is divisible by BOTH dim and 64
+            self.vit_encoder = _RefCustomViT(48, 16, 128, 1, heads=2,
+                                             dim_head=64, mlp_dim=256)
+            self.cnn_decoder = _RefViTDecoder(128, 4, grid=3)
+
+        def forward(self, x):
+            return self.cnn_decoder(self.vit_encoder(x))
+
+    torch.manual_seed(6)
+    net = _Net().eval()
+    x = torch.rand(1, 4, 48, 48)
+    with torch.no_grad():
+        ref = net(x).numpy()
+    path = str(tmp_path / "ambig_vit.pth")
+    torch.save(net.state_dict(), path)
+
+    with pytest.warns(UserWarning, match="divisible by both"):
+        guessed = import_torch_checkpoint(path)
+    assert guessed.arch_kwargs["dim_head"] == 128  # shape-valid but wrong
+    assert guessed.arch_kwargs["heads"] == 1
+
+    fixed = import_torch_checkpoint(path, dim_head=64)
+    assert fixed.arch_kwargs["dim_head"] == 64
+    assert fixed.arch_kwargs["heads"] == 2
+    got = _apply_flax(fixed, x.numpy())
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-4)
+    np.testing.assert_array_equal(_peaks(got), _peaks(ref))
+
+
 # ---------------------------------------------------------------------------
 # keras .h5 (no TF in the image: file written in keras layout, ground
 # truth from an independent lax-op oracle of the keras graph)
