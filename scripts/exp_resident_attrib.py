@@ -150,10 +150,18 @@ def marginal_time(forward, base) -> float:
             def body(c, i):
                 frames = base * (1.0 + i.astype(jnp.bfloat16) * 1e-3)
                 out = forward(frames)
+
+                def consume(v):
+                    # strided sample: forces materialisation while reading
+                    # back only ~1/256 of the tensor (a full max-reduce
+                    # would add one whole HBM read pass per prefix and
+                    # skew the deltas)
+                    if v.ndim == 4:
+                        v = v[:, ::16, ::16]
+                    return jnp.max(jnp.abs(v.astype(jnp.float32)))
+
                 leaves = jax.tree_util.tree_leaves(out)
-                m = jnp.stack([
-                    jnp.max(jnp.abs(v.astype(jnp.float32))) for v in leaves
-                ]).sum()
+                m = jnp.stack([consume(v) for v in leaves]).sum()
                 return jnp.maximum(c, m), 0
 
             c, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(K))
