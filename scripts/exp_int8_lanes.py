@@ -20,6 +20,11 @@ conv-specific lowering, and output-channel narrowness (C_out 64 vs 128+).
 
 Run on the TPU: ``python scripts/exp_int8_lanes.py``. Prints one JSON line
 per probe and a summary verdict to stderr.
+
+Reading the numbers: the consume (full-tensor max) adds one read pass over
+the output per iteration, identical for both dtypes at a given shape — so
+the int8:bf16 RATIO at each shape is the primary signal and the absolute
+TOP/s are mild lower bounds.
 """
 
 from __future__ import annotations
@@ -36,20 +41,31 @@ from jax import lax
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
-REPS = 6  # scan length per timed program
+REPS_SMALL, REPS_LARGE = 8, 40  # marginal-rate pair of scan lengths
 
 
-def _time_program(fn, *args) -> float:
-    """Best-of-3 wall seconds for jitted fn(*args) (np.asarray forces)."""
-    jfn = jax.jit(fn)
-    np.asarray(jfn(*args))  # compile + warm
+def _marginal_seconds_per_rep(make_prog, *args) -> float:
+    """Marginal seconds per scan iteration between two scan lengths.
 
-    def t():
+    A single-length timing is useless here: the relay's fixed
+    dispatch+sync floor is ~24 ms, larger than most probes' total compute
+    — the first version of this script measured a flat 24 ms for every
+    size. The marginal rate between two lengths cancels the floor exactly
+    (same methodology as bench.py).
+    """
+    progs = {}
+    for reps in (REPS_SMALL, REPS_LARGE):
+        progs[reps] = jax.jit(make_prog(reps))
+        np.asarray(progs[reps](*args))  # compile + warm
+
+    def t(reps):
         t0 = time.perf_counter()
-        np.asarray(jfn(*args))
+        np.asarray(progs[reps](*args))
         return time.perf_counter() - t0
 
-    return min(t() for _ in range(3))
+    t_s = min(t(REPS_SMALL) for _ in range(3))
+    t_l = min(t(REPS_LARGE) for _ in range(3))
+    return max(t_l - t_s, 1e-9) / (REPS_LARGE - REPS_SMALL)
 
 
 def matmul_probe(M: int, K: int, N: int, dtype) -> dict:
@@ -64,20 +80,30 @@ def matmul_probe(M: int, K: int, N: int, dtype) -> dict:
         b = jnp.asarray(rng.random((K, N)), dtype)
         acc = jnp.float32
 
-    def prog(a, b):
-        def body(c, _):
-            y = lax.dot_general(
-                a, b, (((1,), (0,)), ((), ())),
-                preferred_element_type=acc,
-            )
-            # cheap consume + feedback so the scan iterations can't fuse
-            return c + y[0, 0], 0
+    def make_prog(reps):
+        def prog(a, b):
+            def body(c, i):
+                # single-element perturbation: forces a full recompute
+                # every iteration (identical iterations get hoisted out of
+                # the scan by LICM — measured as dt ~ 0), at negligible
+                # cost (one row touched)
+                bp = b.at[0].add((i % 2).astype(b.dtype))
+                y = lax.dot_general(
+                    a, bp, (((1,), (0,)), ((), ())),
+                    preferred_element_type=acc,
+                )
+                # full-tensor max: every output element needed, so XLA
+                # cannot narrow the dot to a consumed slice
+                return jnp.maximum(c, jnp.max(y)), 0
 
-        c, _ = lax.scan(body, jnp.zeros((), acc), None, length=REPS)
-        return c
+            c, _ = lax.scan(body, jnp.full((), -(2**30), acc),
+                            jnp.arange(reps))
+            return c
 
-    t = _time_program(prog, a, b)
-    ops = 2.0 * M * K * N * REPS
+        return prog
+
+    t = _marginal_seconds_per_rep(make_prog, a, b)
+    ops = 2.0 * M * K * N
     return {
         "probe": "matmul", "dtype": str(dtype.__name__), "M": M, "K": K,
         "N": N, "tops": round(ops / t / 1e12, 1),
@@ -98,20 +124,25 @@ def conv_probe(hw: int, cin: int, cout: int, batch: int, dtype) -> dict:
         w = jnp.asarray(rng.random((3, 3, cin, cout)), dtype)
         acc = jnp.float32
 
-    def prog(x, w):
-        def body(c, _):
-            y = lax.conv_general_dilated(
-                x, w, (1, 1), "SAME", rhs_dilation=(2, 2),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=acc,
-            )
-            return c + y[0, 0, 0, 0], 0
+    def make_prog(reps):
+        def prog(x, w):
+            def body(c, i):
+                wp = w.at[0, 0, 0, 0].add((i % 2).astype(w.dtype))
+                y = lax.conv_general_dilated(
+                    x, wp, (1, 1), "SAME", rhs_dilation=(2, 2),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=acc,
+                )
+                return jnp.maximum(c, jnp.max(y)), 0
 
-        c, _ = lax.scan(body, jnp.zeros((), acc), None, length=REPS)
-        return c
+            c, _ = lax.scan(body, jnp.full((), -(2**30), acc),
+                            jnp.arange(reps))
+            return c
 
-    t = _time_program(prog, x, w)
-    ops = 2.0 * batch * hw * hw * 9 * cin * cout * REPS
+        return prog
+
+    t = _marginal_seconds_per_rep(make_prog, x, w)
+    ops = 2.0 * batch * hw * hw * 9 * cin * cout
     return {
         "probe": "conv3x3d2", "dtype": str(dtype.__name__), "hw": hw,
         "cin": cin, "cout": cout, "batch": batch,
