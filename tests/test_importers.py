@@ -1045,6 +1045,48 @@ def test_cli_infer_with_imported_reference_checkpoint(tmp_path):
 
 
 @pytest.mark.quick
+def test_cli_infer_with_keras_resnet_and_c2f_saves(tmp_path):
+    """End-to-end: ``cli infer`` consumes the round-4 keras families
+    (resnet50_encoder_shallow_decoder with BN stats, C2F_per_wing with the
+    nested frozen-coarse stack) directly from the .h5."""
+    import json as _json
+
+    from pose_estimation_amitai_tpu import constants as C
+    from pose_estimation_amitai_tpu.cli import main as cli_main
+    from pose_estimation_amitai_tpu.data.synthetic import write_synthetic_h5
+
+    data = str(tmp_path / "data.h5")
+    write_synthetic_h5(data, num_frames=2, num_points=8, image_size=48)
+    rng = np.random.default_rng(41)
+
+    # resnet50 family (5 confmap channels on the per-wing synthetic set)
+    entries, deconvs = _gen_keras_resnet_weights(
+        rng, stem=4, stage_sizes=(1, 1, 1, 1), cin=4, cout=5)
+    resnet_h5 = str(tmp_path / "resnet.h5")
+    _write_keras_resnet_h5(resnet_h5, entries, deconvs)
+
+    # C2F family
+    enc1, dec1 = _gen_keras_cnn_weights(rng, 4, 4, 3, 3)
+    enc2, dec2 = _gen_keras_cnn_weights(rng, 4, 4 + 3, 5, 2)
+    c2f_h5 = str(tmp_path / "c2f.h5")
+    _write_keras_h5_nested_c2f(c2f_h5, enc1, dec1, enc2, dec2)
+
+    for mt, ckpt in ((C.RESNET_18_POINTS_PER_WING, resnet_h5),
+                     (C.C2F_PER_WING, c2f_h5)):
+        cfg_path = str(tmp_path / f"config_{mt}.json")
+        with open(cfg_path, "w") as f:
+            _json.dump({"model type": mt, "batch size": 4}, f)
+        out = str(tmp_path / f"preds_{mt}.npz")
+        rc = cli_main(["infer", cfg_path, ckpt, data, out,
+                       "--chunk-size", "8"])
+        assert rc == 0, mt
+        with np.load(out) as z:
+            pts = z["points_2d"]
+            assert pts.shape[1:] == (3, 5), mt
+            assert np.isfinite(pts).all(), mt
+
+
+@pytest.mark.quick
 def test_cli_import_subcommand_roundtrip(tmp_path):
     """``cli import`` converts to a self-describing native snapshot
     (params + arch metadata, importers.save_imported_snapshot) that
