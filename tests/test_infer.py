@@ -320,8 +320,13 @@ def test_vit_peaks_only_serving_skips_normalisation():
     rng = np.random.default_rng(0)
     frames = rng.random((6, HW, HW, IN_CH)).astype(np.float32)
 
-    p_fast = Predictor(cfg, params, (HW, HW, IN_CH), OUT_CH, chunk_size=4)
+    # fast_softmax=False isolates the min-max-skip property (EXACT) from
+    # the approximate bf16 softmax chain, which has its own parity test
+    # (tests/test_models.py::test_vit_fast_softmax_argmax_parity)
+    p_fast = Predictor(cfg, params, (HW, HW, IN_CH), OUT_CH, chunk_size=4,
+                       fast_softmax=False)
     assert p_fast.model.normalize_output is False
+    assert p_fast.model.fast_softmax is False
     p_maps = Predictor(cfg, params, (HW, HW, IN_CH), OUT_CH, chunk_size=4,
                        return_heatmaps=True)
     assert p_maps.model.normalize_output is True
@@ -357,7 +362,10 @@ def test_vit4cam_peaks_only_val_channel_parity():
     frames = np.random.default_rng(2).random((5, HW, HW, in_ch)).astype(
         np.float32
     )
-    p_fast = Predictor(cfg, params, (HW, HW, in_ch), out_ch, chunk_size=4)
+    # fast_softmax=False: this pins the EXACT per-view val recovery (the
+    # bf16 softmax chain is approximate and tested separately)
+    p_fast = Predictor(cfg, params, (HW, HW, in_ch), out_ch, chunk_size=4,
+                       fast_softmax=False)
     assert p_fast._val_renorm_views == 4
     p_norm = Predictor(cfg, params, (HW, HW, in_ch), out_ch, chunk_size=4,
                        return_heatmaps=True)
