@@ -85,7 +85,13 @@ class Predictor:
         only the CNN decoder's conv stack runs int8 while the
         transformer trunk stays bf16 (DESIGN.md serving findings; the
         hand-scheduled flagship BasicNet path is all-conv and ignores
-        this)."""
+        this).
+
+        ``fast_softmax``: ``None`` (default) auto-engages the ViT
+        families' bf16 softmax serving chain for argmax peaks-only
+        serving (models/vit.py Attention.fast_softmax — approximate to
+        bf16 precision, argmax parity pinned in tests); ``False`` forces
+        the exact f32 softmax, ``True`` forces the bf16 chain."""
         from .models import needs_camera_matrices
 
         self.cfg = cfg
