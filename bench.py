@@ -80,17 +80,24 @@ TRAIN_K = 8
 # uncleanly (remote grant not yet released), so the watchdog extends the
 # deadline while the claim is pending, up to an absolute cap.
 HARD_DEADLINE_S = 330.0
-POST_CLAIM_S = 200.0       # budget from the moment the device answers
-ABS_MAX_S = 550.0          # never run longer than this, claim or no claim
+# Post-claim budget covers headline + train + the two zoo lines on a warm
+# cache (~310s measured end-to-end round 4); ABS_MAX stays under the
+# smallest plausible driver window.
+POST_CLAIM_S = 420.0       # budget from the moment the device answers
+ABS_MAX_S = 560.0          # never run longer than this, claim or no claim
 # Refinement / extras only start if elapsed is below these.
 REFINE_BUDGET_S = 200.0
 TRAIN_BUDGET_S = 110.0
 
 _STATE: dict = {"out": None, "device_ready": None, "emitted": False}
 # zoo spare-budget section (runs AFTER the headline line is printed, so it
-# can only add lines, never delay or sink the headline)
-ZOO_VIT_BUDGET_S = 320.0     # start the ViT family bench below this
-ZOO_MULTICAM_BUDGET_S = 420.0  # start the 4-cam fusion bench below this
+# can only add lines, never delay or sink the headline). Start gates are
+# against the WATCHDOG DEADLINE, not wall-clock: a family only starts with
+# this much deadline headroom left (warm-cache costs measured ~60-90s per
+# family; a cold compile can still overrun, in which case the watchdog
+# bounds the damage after the headline is already out).
+ZOO_VIT_HEADROOM_S = 150.0
+ZOO_MULTICAM_HEADROOM_S = 170.0
 _EMIT_LOCK = threading.Lock()
 SCALES_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "bench_scales.npz")
@@ -128,18 +135,18 @@ def _emit(hard_exit: bool, code: int = 0) -> None:
             os._exit(code)
 
 
+def _current_deadline() -> float:
+    """The watchdog's deadline under the current claim state (seconds
+    from process start)."""
+    ready = _STATE["device_ready"]
+    if ready is None:
+        return ABS_MAX_S
+    return min(max(HARD_DEADLINE_S, ready + POST_CLAIM_S), ABS_MAX_S)
+
+
 def _start_watchdog() -> None:
     def watch():
-        while True:
-            e = _elapsed()
-            ready = _STATE["device_ready"]
-            if ready is None:
-                deadline = ABS_MAX_S  # claim pending: wait it out
-            else:
-                deadline = min(max(HARD_DEADLINE_S, ready + POST_CLAIM_S),
-                               ABS_MAX_S)
-            if e >= deadline:
-                break
+        while _elapsed() < _current_deadline():
             time.sleep(1.0)
         _log("hard deadline reached — emitting best-so-far")
         _emit(hard_exit=True)
@@ -289,7 +296,7 @@ def _scan_runner(forward, params, base):
     return make
 
 
-def _bench_family(model_type: str, in_ch: int, out_ch: int, cams: int,
+def _bench_family(model_type: str, in_ch: int, out_ch: int,
                   batch: int, mode: str) -> float:
     """Marginal-rate serving throughput (samples/s) for one zoo family —
     the bench_zoo.py methodology compacted: one jitted ``lax.scan`` movie
@@ -358,7 +365,16 @@ def _bench_family(model_type: str, in_ch: int, out_ch: int, cams: int,
     timed(r_s), timed(r_l)  # compile + warm
     t_s = min(timed(r_s) for _ in range(2))
     t_l = min(timed(r_l) for _ in range(2))
-    return (k_l - k_s) * batch / max(t_l - t_s, 1e-9)
+    # same trust policy as the headline: the marginal rate cancels fixed
+    # dispatch overhead, but noise can make it absurd (or dt <= 0) — fall
+    # back to the conservative whole-run rate outside the trust band
+    whole = k_l * batch / t_l
+    dt = t_l - t_s
+    if dt > 1e-6:
+        marginal = (k_l - k_s) * batch / dt
+        if whole <= marginal <= whole * 1.2:
+            return marginal
+    return whole
 
 
 def bench_zoo_spare_budget() -> None:
@@ -373,18 +389,19 @@ def bench_zoo_spare_budget() -> None:
     zoo = [
         ("vit_serving_throughput",
          C.MODEL_18_POINTS_PER_WING_VIT, 4, 18, 1, 512, "bf16",
-         ZOO_VIT_BUDGET_S),
+         ZOO_VIT_HEADROOM_S),
         ("multicam_serving_throughput",
          C.ALL_CAMS_18_POINTS, 16, 72, 4, 256, "int8",
-         ZOO_MULTICAM_BUDGET_S),
+         ZOO_MULTICAM_HEADROOM_S),
     ]
-    for metric, mt, in_ch, out_ch, cams, batch, mode, budget in zoo:
-        if _elapsed() >= budget:
-            _log(f"skipping {metric} (budget: {_elapsed():.0f}s"
-                 f" >= {budget:.0f}s)")
+    for metric, mt, in_ch, out_ch, cams, batch, mode, headroom in zoo:
+        remaining = _current_deadline() - _elapsed()
+        if remaining < headroom:
+            _log(f"skipping {metric} (deadline headroom "
+                 f"{remaining:.0f}s < {headroom:.0f}s)")
             continue
         try:
-            sps = _bench_family(mt, in_ch, out_ch, cams, batch, mode)
+            sps = _bench_family(mt, in_ch, out_ch, batch, mode)
             frames = sps * cams
             line = {
                 "metric": metric,

@@ -1030,6 +1030,14 @@ def load_imported_snapshot(path: str) -> ImportedModel | None:
 
     try:
         with open(path, "rb") as f:
+            # cheap sniff before the full parse: the payload dict is
+            # written insertion-ordered, so its "format" key appears in
+            # the first few bytes — avoids fully msgpack-restoring every
+            # multi-hundred-MB NON-snapshot checkpoint just to say None
+            head = f.read(64)
+            if b"format" not in head:
+                return None
+            f.seek(0)
             restored = serialization.msgpack_restore(f.read())
     except Exception:
         return None

@@ -155,6 +155,13 @@ class Predictor:
             and getattr(self.model, "fast_softmax", None) is False
         ):
             self.model = self.model.clone(fast_softmax=True)
+        elif (
+            fast_softmax is False
+            and getattr(self.model, "fast_softmax", None) is True
+        ):
+            # honour the explicit disable even when the caller passed a
+            # model object that already had the fast chain engaged
+            self.model = self.model.clone(fast_softmax=False)
         self._needs_cams = needs_camera_matrices(cfg.model_type)
         self.cameras = None
         if cameras is not None:

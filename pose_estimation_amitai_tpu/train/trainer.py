@@ -288,7 +288,21 @@ class Trainer:
                     loaded_all = imported.params
                     loaded_stats = imported.batch_stats or {}
                 else:
-                    loaded_all = ckpt.load_params(cfg.pretrained_encoder_path)
+                    # a `cli import` snapshot carries BN stats too — do
+                    # not flatten it to params-only (the stats are half
+                    # the point of importing an ImageNet trunk)
+                    from ..importers import load_imported_snapshot
+
+                    snap = load_imported_snapshot(
+                        cfg.pretrained_encoder_path
+                    )
+                    if snap is not None:
+                        loaded_all = snap.params
+                        loaded_stats = snap.batch_stats or {}
+                    else:
+                        loaded_all = ckpt.load_params(
+                            cfg.pretrained_encoder_path
+                        )
                 src = loaded_all.get("encoder", loaded_all)
                 tgt = params[enc_key]
                 stem = src.get("stem") if isinstance(src, dict) else None
@@ -312,12 +326,22 @@ class Trainer:
                     }
                 tgt_flat = jax.tree_util.tree_flatten_with_path(tgt)[0]
                 src_flat = jax.tree_util.tree_leaves(src)
+                if len(tgt_flat) != len(src_flat):
+                    # structure mismatch (e.g. wrong resnet depth/flavor:
+                    # different proj-conv presence) — raise the friendly
+                    # error instead of tree_map's cryptic structure one
+                    raise ValueError(
+                        "pretrained encoder tree does not match the "
+                        f"model's ({len(src_flat)} loaded leaves vs "
+                        f"{len(tgt_flat)} expected — is resnet_flavor/"
+                        "arch set right?)"
+                    )
                 mismatches = [
                     f"{jax.tree_util.keystr(kp)}: {tuple(t.shape)} vs "
                     f"{tuple(np.shape(v))}"
                     for (kp, t), v in zip(tgt_flat, src_flat)
                     if tuple(t.shape) != tuple(np.shape(v))
-                ] if len(tgt_flat) == len(src_flat) else []
+                ]
                 if mismatches:
                     raise ValueError(
                         "pretrained encoder shapes do not match the "

@@ -944,6 +944,48 @@ def test_trainer_imagenet_resnet_encoder_init(tmp_path):
         m.state_dict()["layer4.0.bn3.running_var"].numpy(), rtol=1e-6)
 
 
+def test_trainer_pretrained_encoder_from_snapshot_keeps_bn_stats(tmp_path):
+    """review r4: pretrained_encoder_path pointing at a `cli import`
+    SNAPSHOT (not the raw reference file) must graft BN running stats too
+    — the params-only load_params fallback silently dropped them."""
+    from pose_estimation_amitai_tpu import constants as C
+    from pose_estimation_amitai_tpu.config import Config
+    from pose_estimation_amitai_tpu.data.synthetic import (
+        make_synthetic_arrays,
+    )
+    from pose_estimation_amitai_tpu.importers import (
+        import_reference_checkpoint,
+        save_imported_snapshot,
+    )
+    from pose_estimation_amitai_tpu.train.trainer import Trainer
+
+    m = _TVResNet50()
+    _randomize_torch(m, 13)
+    pth = str(tmp_path / "tv.pth")
+    torch.save(m.state_dict(), pth)
+    snap = str(tmp_path / "tv_snapshot.msgpack")
+    save_imported_snapshot(import_reference_checkpoint(pth), snap)
+
+    cfg = Config(
+        model_type=C.RESNET_18_POINTS_PER_WING, resnet_flavor="torch",
+        pretrained_encoder_path=snap, epochs=1, batch_size=2,
+        batches_per_epoch=1, base_output_path=str(tmp_path / "runs"),
+        do_augmentations=False, val_fraction=0.5, seed=0,
+    )
+    arrays = make_synthetic_arrays(num_frames=4, num_points=6,
+                                   image_size=48, seed=0)
+    trainer = Trainer(cfg, arrays=arrays)
+    np.testing.assert_allclose(
+        np.asarray(trainer.state.batch_stats["encoder"]["stem_bn"]["mean"],
+                   np.float32),
+        m.state_dict()["bn1.running_mean"].numpy(), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(
+            trainer.state.batch_stats["encoder"]["stage2_block0"]["bn2"]
+            ["var"], np.float32),
+        m.state_dict()["layer3.0.bn2.running_var"].numpy(), rtol=1e-6)
+
+
 @pytest.mark.quick
 def test_adapt_stem_in_channels_grayscale_parity():
     """Channel inflation invariant: equal-channel (grayscale-replicated)
