@@ -264,7 +264,27 @@ class Trainer:
         cfg = self.cfg
         params = self.state.params
         if cfg.coarse_model_path and "coarse" in params:
-            loaded = ckpt.load_params(cfg.coarse_model_path, params["coarse"])
+            from ..importers import is_reference_checkpoint
+
+            if is_reference_checkpoint(cfg.coarse_model_path):
+                # the reference's own flow: C2F loads a TRAINED KERAS
+                # coarse save ("coarse per wing sigma 6 model.h5",
+                # tensorflow/Network.py:172-176) — import it and take the
+                # enc/dec trees (a coarse_per_wing save imports as
+                # basic_cnn: same {encoder, decoder} structure as the
+                # CoarsePerWing submodule)
+                from ..importers import import_reference_checkpoint
+
+                loaded = import_reference_checkpoint(
+                    cfg.coarse_model_path
+                ).params
+                loaded = jax.tree_util.tree_map(
+                    lambda t, v: jnp.asarray(v).astype(t.dtype),
+                    params["coarse"], loaded,
+                )
+            else:
+                loaded = ckpt.load_params(cfg.coarse_model_path,
+                                          params["coarse"])
             params = dict(params)
             params["coarse"] = loaded
             self.state = self.state.replace(params=params)

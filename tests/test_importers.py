@@ -987,6 +987,46 @@ def test_trainer_pretrained_encoder_from_snapshot_keeps_bn_stats(tmp_path):
 
 
 @pytest.mark.quick
+def test_trainer_c2f_coarse_from_reference_h5(tmp_path):
+    """The reference's own C2F flow: ``coarse_model_path`` pointing at a
+    TRAINED KERAS coarse save (tensorflow/Network.py:172-176) loads the
+    frozen coarse stage directly from the .h5 (round-4: the path used to
+    accept only native msgpack)."""
+    import json as _json
+
+    from pose_estimation_amitai_tpu import constants as C
+    from pose_estimation_amitai_tpu.config import Config
+    from pose_estimation_amitai_tpu.data.synthetic import (
+        make_synthetic_arrays,
+    )
+    from pose_estimation_amitai_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(51)
+    f0, cin, cout, nb = 4, 4, 5, 3
+    enc, dec = _gen_keras_cnn_weights(rng, f0, cin, cout, nb)
+    coarse_h5 = str(tmp_path / "coarse_sigma6.h5")
+    _write_keras_h5(coarse_h5, enc, dec)
+
+    cfg = Config(
+        model_type=C.C2F_PER_WING, num_base_filters=f0,
+        coarse_model_path=coarse_h5, epochs=1, batch_size=2,
+        batches_per_epoch=1, base_output_path=str(tmp_path / "runs"),
+        do_augmentations=False, val_fraction=0.5, seed=0,
+    )
+    arrays = make_synthetic_arrays(num_frames=4, num_points=8,
+                                   image_size=48, seed=0)
+    trainer = Trainer(cfg, arrays=arrays)
+    coarse = trainer.state.params["coarse"]
+    np.testing.assert_allclose(
+        np.asarray(coarse["encoder"]["block0_conv1"]["kernel"],
+                   np.float32), enc[0][0], rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(coarse["decoder"]["head_deconv"]["bias"], np.float32),
+        dec[-1][1], rtol=1e-6)
+    del _json
+
+
+@pytest.mark.quick
 def test_adapt_stem_in_channels_grayscale_parity():
     """Channel inflation invariant: equal-channel (grayscale-replicated)
     inputs produce exactly the original RGB-trunk response."""
