@@ -992,8 +992,6 @@ def test_trainer_c2f_coarse_from_reference_h5(tmp_path):
     TRAINED KERAS coarse save (tensorflow/Network.py:172-176) loads the
     frozen coarse stage directly from the .h5 (round-4: the path used to
     accept only native msgpack)."""
-    import json as _json
-
     from pose_estimation_amitai_tpu import constants as C
     from pose_estimation_amitai_tpu.config import Config
     from pose_estimation_amitai_tpu.data.synthetic import (
@@ -1023,7 +1021,6 @@ def test_trainer_c2f_coarse_from_reference_h5(tmp_path):
     np.testing.assert_allclose(
         np.asarray(coarse["decoder"]["head_deconv"]["bias"], np.float32),
         dec[-1][1], rtol=1e-6)
-    del _json
 
 
 @pytest.mark.quick
