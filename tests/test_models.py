@@ -132,6 +132,20 @@ def test_vit_fast_softmax_argmax_parity():
         rtol=0.05, atol=0.05,
     )
 
+    # TF flavour (post-LN blocks, biased qkv) rides the same fast chain
+    vit_tf = ViTPoseNet(out_channels=6, patch_size=16, dim=64, depth=2,
+                        heads=2, dim_head=64, mlp_expand=2, flavor="tf")
+    params_tf = vit_tf.init({"params": jax.random.key(2)}, x,
+                            train=False)["params"]
+    exact_tf = vit_tf.apply({"params": params_tf}, x, train=False)
+    fast_tf = vit_tf.clone(fast_softmax=True).apply(
+        {"params": params_tf}, x, train=False)
+    _np.testing.assert_array_equal(
+        _np.asarray(peaks_ops.find_peaks_with_vals(
+            jnp.asarray(exact_tf, jnp.float32)))[:, :2],
+        _np.asarray(peaks_ops.find_peaks_with_vals(
+            jnp.asarray(fast_tf, jnp.float32)))[:, :2])
+
     cfg = Config(model_type=C.MODEL_18_POINTS_PER_WING_VIT,
                  projection_dim=64, num_heads=2, transformer_layers=2,
                  fully_connected_expand=2)
