@@ -85,8 +85,10 @@ HARD_DEADLINE_S = 330.0
 # smallest plausible driver window.
 POST_CLAIM_S = 420.0       # budget from the moment the device answers
 ABS_MAX_S = 560.0          # never run longer than this, claim or no claim
-# Refinement / extras only start if elapsed is below these.
-REFINE_BUDGET_S = 200.0
+# Refinement / extras only start if time SINCE THE CLAIM is below these
+# (wall-elapsed gates starved them after long claim stalls — the watchdog
+# already extends its deadline claim-aware, these must match).
+REFINE_BUDGET_S = 190.0
 TRAIN_BUDGET_S = 110.0
 
 _STATE: dict = {"out": None, "device_ready": None, "emitted": False}
@@ -133,6 +135,12 @@ def _emit(hard_exit: bool, code: int = 0) -> None:
         sys.stderr.flush()
         if hard_exit:
             os._exit(code)
+
+
+def _since_claim() -> float:
+    """Seconds since the device answered (elapsed if it never has)."""
+    ready = _STATE["device_ready"]
+    return _elapsed() if ready is None else _elapsed() - ready
 
 
 def _current_deadline() -> float:
@@ -395,7 +403,13 @@ def bench_zoo_spare_budget() -> None:
          ZOO_MULTICAM_HEADROOM_S),
     ]
     for metric, mt, in_ch, out_ch, cams, batch, mode, headroom in zoo:
-        remaining = _current_deadline() - _elapsed()
+        # --no-deadline runs have no watchdog: the deadline gate is
+        # meaningless there (a long claim stall would otherwise leave
+        # "negative headroom" and skip the zoo forever)
+        if _STATE.get("no_deadline"):
+            remaining = float("inf")
+        else:
+            remaining = _current_deadline() - _elapsed()
         if remaining < headroom:
             _log(f"skipping {metric} (deadline headroom "
                  f"{remaining:.0f}s < {headroom:.0f}s)")
@@ -460,7 +474,7 @@ def main() -> None:
          f"spread {min(rates):.0f}-{max(rates):.0f})")
 
     # --- refinement: marginal rate between K_SMALL and K_LARGE -------------
-    if _elapsed() < REFINE_BUDGET_S:
+    if _since_claim() < REFINE_BUDGET_S:
         try:
             run_small = make(K_SMALL)
             np.asarray(run_small())  # compile + warm
@@ -489,7 +503,7 @@ def main() -> None:
         _log("skipping marginal refinement (budget)")
 
     # --- optional second metric: train-step throughput ---------------------
-    if "--infer" not in sys.argv and _elapsed() < TRAIN_BUDGET_S:
+    if "--infer" not in sys.argv and _since_claim() < TRAIN_BUDGET_S:
         try:
             tr = bench_train()
             _set_headline(fps, {
@@ -511,6 +525,8 @@ def main() -> None:
 if __name__ == "__main__":
     if "--no-deadline" not in sys.argv:
         _start_watchdog()
+    else:
+        _STATE["no_deadline"] = True
     if "--train" in sys.argv:
         fps = bench_train()
         _STATE["out"] = {
