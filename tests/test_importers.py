@@ -1024,6 +1024,33 @@ def test_trainer_c2f_coarse_from_reference_h5(tmp_path):
 
 
 @pytest.mark.quick
+def test_encoder_only_snapshot_refuses_to_serve(tmp_path):
+    """An encoder-init import (torchvision trunk) must fail LOUDLY when
+    used as a full serving model — both from the raw .pth and from its
+    `cli import` snapshot."""
+    from pose_estimation_amitai_tpu.config import Config
+    from pose_estimation_amitai_tpu.importers import (
+        import_reference_checkpoint,
+        save_imported_snapshot,
+    )
+    from pose_estimation_amitai_tpu.infer import Predictor
+
+    m = _TVResNet50((1, 1, 1, 1))
+    _randomize_torch(m, 17)
+    pth = str(tmp_path / "tv.pth")
+    torch.save(m.state_dict(), pth)
+    snap = str(tmp_path / "tv_snap.msgpack")
+    save_imported_snapshot(import_reference_checkpoint(pth), snap)
+
+    for ckpt in (pth, snap):
+        with pytest.raises(ValueError, match="ENCODER-INIT"):
+            Predictor.from_checkpoint(
+                Config(), ckpt, image_shape=(48, 48, 3),
+                num_output_channels=5,
+            )
+
+
+@pytest.mark.quick
 def test_adapt_stem_in_channels_grayscale_parity():
     """Channel inflation invariant: equal-channel (grayscale-replicated)
     inputs produce exactly the original RGB-trunk response."""
