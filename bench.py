@@ -32,19 +32,34 @@ the MARGINAL rate between two K values, which cancels the fixed overhead
 exactly.  Host fetches are forced with ``np.asarray``.
 
 Prints the HEADLINE JSON line first:
-  {"metric": "heatmap_inference_throughput", "value", "unit",
-   "vs_baseline", "value_min", "value_max", "repeats"
-   [, "train_step_throughput"]}
-(value_min/value_max = observed per-repeat whole-run rate spread, so
-round-over-round drift is classifiable as relay noise vs regression), then
-— spare budget permitting — appends one driver-verified zoo line per extra
-serving family (ViT per-wing, 4-cam fusion CNN), e.g.:
-  {"metric": "vit_serving_throughput", "value", ...}
-Zoo failures or budget exhaustion only cost the extra lines; the headline
-is already out.
+  {"metric": "heatmap_inference_throughput", "value", "value_kind", "unit",
+   "vs_baseline", "value_min", "value_max", "spread_kind", "repeats"
+   [, "train_step_throughput", "train_step_throughput_rot180"]}
+``value`` is the best rate and ``value_kind`` says which estimator it is
+(``marginal_rate`` when the refinement lands, else ``whole_run_rate``);
+``value_min``/``value_max`` are the observed per-repeat WHOLE-RUN rate
+spread (``spread_kind`` says so) — a marginal ``value`` legitimately sits
+above ``value_max`` because it cancels the fixed dispatch overhead the
+whole-run rates still carry. The two train sub-objects carry their
+augmentation config (``rotation_range``) so the train-side warp work is
+driver-measurable at both the mild and the worst-case rotation range.
+
+Then — spare budget permitting — the zoo section appends one
+driver-verified JSON line per extra serving family. Two fixed slots (ViT
+per-wing, 4-cam fusion CNN) plus ONE ROTATING slot so the whole zoo gets
+driver-verified across rounds without busting one run's budget: the
+rotation picks from [FTL disentangled, ResNet50, GPTNet] by the number of
+BENCH_r*.json artifacts present (rotation started at round 5 = 4 artifacts
+= the FTL family, which exercises the camera-matrix input path). Every
+zoo line carries its own ``baseline`` + ``baseline_kind`` (per-wing
+families: the flagship 5,000 fps target; heavier multicam families: a
+roofline-derived frame budget) so ``vs_baseline`` ~ 1.0 means "at its own
+target/ceiling", not "fraction of the flagship's target". Zoo failures or
+budget exhaustion only cost the extra lines; the headline is already out.
 
 Flags: ``--train`` (train-step bench only), ``--infer`` (skip train metric),
-``--no-deadline`` (disable the watchdog, for offline runs).
+``--no-deadline`` (disable the watchdog, for offline runs),
+``--zoo-family NAME`` (offline: bench one zoo family by name).
 """
 
 from __future__ import annotations
@@ -80,16 +95,17 @@ TRAIN_K = 8
 # uncleanly (remote grant not yet released), so the watchdog extends the
 # deadline while the claim is pending, up to an absolute cap.
 HARD_DEADLINE_S = 330.0
-# Post-claim budget covers headline + train + the two zoo lines on a warm
-# cache (~310s measured end-to-end round 4); ABS_MAX stays under the
-# smallest plausible driver window.
-POST_CLAIM_S = 420.0       # budget from the moment the device answers
+# Post-claim budget covers headline + train (two rotation variants) + the
+# three zoo lines on a warm cache (~310s measured end-to-end round 4 with
+# two zoo lines); ABS_MAX stays under the smallest plausible driver window.
+POST_CLAIM_S = 440.0       # budget from the moment the device answers
 ABS_MAX_S = 560.0          # never run longer than this, claim or no claim
 # Refinement / extras only start if time SINCE THE CLAIM is below these
 # (wall-elapsed gates starved them after long claim stalls — the watchdog
 # already extends its deadline claim-aware, these must match).
 REFINE_BUDGET_S = 190.0
 TRAIN_BUDGET_S = 110.0
+TRAIN2_BUDGET_S = 170.0    # the ±180° train variant (a second compile)
 
 _STATE: dict = {"out": None, "device_ready": None, "emitted": False}
 # zoo spare-budget section (runs AFTER the headline line is printed, so it
@@ -99,7 +115,8 @@ _STATE: dict = {"out": None, "device_ready": None, "emitted": False}
 # family; a cold compile can still overrun, in which case the watchdog
 # bounds the damage after the headline is already out).
 ZOO_VIT_HEADROOM_S = 150.0
-ZOO_MULTICAM_HEADROOM_S = 170.0
+ZOO_ROTATING_HEADROOM_S = 160.0
+ZOO_MULTICAM_HEADROOM_S = 80.0
 _EMIT_LOCK = threading.Lock()
 SCALES_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "bench_scales.npz")
@@ -164,11 +181,17 @@ def _start_watchdog() -> None:
 
 
 def _spread(rates: list[float]) -> dict:
-    """Observed per-repeat rate spread for the emitted JSON (noise band)."""
+    """Observed per-repeat rate spread for the emitted JSON (noise band).
+
+    The spread is of WHOLE-RUN rates; the headline ``value`` may be the
+    marginal rate, which cancels fixed dispatch overhead and therefore
+    legitimately exceeds ``value_max`` — ``value_kind``/``spread_kind``
+    make the two estimators explicit in the artifact (advisor r4)."""
     return {
         "value_min": round(min(rates), 1),
         "value_max": round(max(rates), 1),
         "repeats": len(rates),
+        "spread_kind": "whole_run_rate",
     }
 
 
@@ -187,10 +210,13 @@ def _set_headline(fps: float, extra: dict | None = None) -> None:
     _STATE["out"] = out
 
 
-def bench_train() -> float:
+def bench_train(rotation_range: float = 15.0) -> float:
     """Train-step frames/sec/chip: flagship model, batch 256, 192px, full
-    on-device augmentation (rotation +-15 deg, shifts, flips), MSE loss,
-    one Adam update per step.  K steps chain inside ONE jitted lax.scan."""
+    on-device augmentation (rotation ±``rotation_range``°, shifts, flips),
+    MSE loss, one Adam update per step.  K steps chain inside ONE jitted
+    lax.scan.  The rotation range is a real cost axis — the separable
+    warp's intermediate canvases scale with the shear bound (DESIGN.md
+    "Augmentation") — so the driver line carries both ±15° and ±180°."""
     from pose_estimation_amitai_tpu.config import Config
     from pose_estimation_amitai_tpu.models import build_model
     from pose_estimation_amitai_tpu.train.loop import (
@@ -199,7 +225,8 @@ def bench_train() -> float:
 
     hw, in_ch, out_ch, n_data = 192, 4, 18, 2048
     cfg = Config(
-        batch_size=TRAIN_B, do_augmentations=True, rotation_range=15.0,
+        batch_size=TRAIN_B, do_augmentations=True,
+        rotation_range=rotation_range,
         xy_shifts=10.0, zoom_range=(0.9, 1.1), dropout_ratio=0.0,
     )
     model = build_model(cfg, (hw, hw, in_ch), out_ch)
@@ -304,6 +331,18 @@ def _scan_runner(forward, params, base):
     return make
 
 
+def _bench_cameras(batch: int):
+    """Plausible per-sample 3x4 projection matrices + normalised pinvs for
+    the camera-matrix (FTL) family — the CameraMatrixGenerator contract
+    (P @ P_inv ~ s*I3, reference pytorch/Datagenerators.py:242-270)."""
+    rng = np.random.default_rng(7)
+    P = np.tile(np.eye(3, 4, dtype=np.float32), (batch, 4, 1, 1))
+    P += rng.normal(0, 0.05, P.shape).astype(np.float32)
+    P_inv = np.linalg.pinv(P)
+    P_inv /= np.linalg.norm(P_inv, axis=(-2, -1), keepdims=True)
+    return jnp.asarray(P), jnp.asarray(P_inv)
+
+
 def _bench_family(model_type: str, in_ch: int, out_ch: int,
                   batch: int, mode: str) -> float:
     """Marginal-rate serving throughput (samples/s) for one zoo family —
@@ -313,7 +352,9 @@ def _bench_family(model_type: str, in_ch: int, out_ch: int,
     ``mode``: 'bf16' (plain flax apply) or 'int8' (the generic interceptor,
     models/quantized_generic.py, shape-only calibration)."""
     from pose_estimation_amitai_tpu.config import Config
-    from pose_estimation_amitai_tpu.models import build_model
+    from pose_estimation_amitai_tpu.models import (
+        build_model, needs_camera_matrices,
+    )
     from pose_estimation_amitai_tpu.ops import peaks
 
     hw = 192
@@ -327,9 +368,14 @@ def _bench_family(model_type: str, in_ch: int, out_ch: int,
         model = model.clone(fast_softmax=True)  # bf16 softmax chain
     rng = np.random.default_rng(0)
     base = jnp.asarray(rng.random((batch, hw, hw, in_ch)), jnp.bfloat16)
+    extra = ()
+    if needs_camera_matrices(model_type):
+        extra = _bench_cameras(batch)
     variables = model.init(
         {"params": jax.random.key(0)},
-        jnp.zeros((1, hw, hw, in_ch), jnp.bfloat16), train=False,
+        jnp.zeros((1, hw, hw, in_ch), jnp.bfloat16),
+        *(e[:1] for e in extra),
+        train=False,
     )
     variables = jax.tree_util.tree_map(
         lambda v: jnp.asarray(v, jnp.float32), variables
@@ -340,28 +386,29 @@ def _bench_family(model_type: str, in_ch: int, out_ch: int,
             make_quantized_apply,
         )
 
-        calib = [(np.asarray(base[:8], np.float32),)]
+        calib = [(np.asarray(base[:8], np.float32),)
+                 + tuple(e[:8] for e in extra)]
         scales = calibrate_apply(model, variables, calib)
         forward = make_quantized_apply(
             model, variables, scales, out_dtype=jnp.bfloat16
         )
     else:
-        def forward(frames):
-            return model.apply(variables, frames, train=False)
+        def forward(frames, *args):
+            return model.apply(variables, frames, *args, train=False)
 
     k_s, k_l = 2, 8
 
     def make(K):
         @jax.jit
-        def run(base):
+        def run(base, *args):
             def body(c, i):
                 frames = base * (1.0 + i.astype(jnp.bfloat16) * 1e-3)
-                return c, peaks.find_peaks_with_vals(forward(frames))
+                return c, peaks.find_peaks_with_vals(forward(frames, *args))
 
             _, out = jax.lax.scan(body, 0, jnp.arange(K))
             return out
 
-        return lambda: run(base)
+        return lambda: run(base, *extra)
 
     r_s, r_l = make(k_s), make(k_l)
 
@@ -385,24 +432,65 @@ def _bench_family(model_type: str, in_ch: int, out_ch: int,
     return whole
 
 
+def _zoo_schedule() -> list[tuple]:
+    """The zoo lines for THIS run: two fixed slots (ViT per-wing, 4-cam
+    fusion) + one rotating slot (round-4 verdict #2) so every serving
+    family gets a driver-verified number within three rounds.  The
+    rotation index comes from the BENCH_r*.json artifacts the driver left
+    in the repo: rotation started at round 5 (4 artifacts) with the FTL
+    disentangled family (the only family exercising the camera-matrix
+    input path, reference pytorch/CNNs.py:240-352), then ResNet50
+    (tensorflow/Network.py:377-414), then GPTNet (NNs warehouse/NNs.py).
+
+    Tuple: (metric, model_type, in_ch, out_ch, cams, batch, mode,
+    headroom_s, baseline_fps, baseline_kind).  ``baseline`` is
+    per-family (round-4 verdict #6): per-wing families measure against
+    the flagship 5,000 fps target; heavier multicam families against a
+    roofline-derived frame budget (GFLOP/sample from scripts/roofline.py
+    HLO cost analysis x the v5e-1 bf16 peak), so vs_baseline ~ 1.0 reads
+    "at its own ceiling" instead of "fraction of the flagship target"."""
+    import glob
+
+    from pose_estimation_amitai_tpu import constants as C
+
+    # bf16-roofline frame budgets: 197 TFLOP/s / GFLOP-per-sample * cams
+    # (GFLOP/sample measured in RESULTS.md: fusion 757.3, FTL 109.5,
+    # resnet 11.4, gptnet 4.8)
+    rotating = [
+        ("ftl_serving_throughput",
+         C.ALL_CAMS_DISENTANGLED_PER_WING_CNN, 16, 72, 4, 128, "int8",
+         ZOO_ROTATING_HEADROOM_S, 7195.0, "bf16_roofline"),
+        ("resnet_serving_throughput",
+         C.RESNET_18_POINTS_PER_WING, 4, 18, 1, 256, "int8",
+         ZOO_ROTATING_HEADROOM_S, 17280.0, "bf16_roofline"),
+        ("gptnet_serving_throughput",
+         C.GPTNET, 4, 18, 1, 256, "int8",
+         ZOO_ROTATING_HEADROOM_S, 41040.0, "bf16_roofline"),
+    ]
+    here = os.path.dirname(os.path.abspath(__file__))
+    n_rounds = len(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    pick = rotating[max(0, n_rounds - 4) % len(rotating)]
+    return [
+        ("vit_serving_throughput",
+         C.MODEL_18_POINTS_PER_WING_VIT, 4, 18, 1, 512, "bf16",
+         ZOO_VIT_HEADROOM_S, BASELINE_FPS, "flagship_target"),
+        pick,
+        ("multicam_serving_throughput",
+         C.ALL_CAMS_18_POINTS, 16, 72, 4, 256, "int8",
+         ZOO_MULTICAM_HEADROOM_S, 1040.0, "bf16_roofline"),
+    ]
+
+
 def bench_zoo_spare_budget() -> None:
     """Driver-verified zoo lines (round-3 verdict next #1): after the
     headline is printed, measure the second-most-important serving
     families and append one JSON line each — the ViT per-wing family
-    (reference serving surface pytorch/VITs.py:197-229) and, with budget
-    left, the 4-cam fusion CNN (pytorch/CNNs.py:189-237). Failures and
-    budget exhaustion only cost the extra lines, never the headline."""
-    from pose_estimation_amitai_tpu import constants as C
-
-    zoo = [
-        ("vit_serving_throughput",
-         C.MODEL_18_POINTS_PER_WING_VIT, 4, 18, 1, 512, "bf16",
-         ZOO_VIT_HEADROOM_S),
-        ("multicam_serving_throughput",
-         C.ALL_CAMS_18_POINTS, 16, 72, 4, 256, "int8",
-         ZOO_MULTICAM_HEADROOM_S),
-    ]
-    for metric, mt, in_ch, out_ch, cams, batch, mode, headroom in zoo:
+    (reference serving surface pytorch/VITs.py:197-229), this round's
+    rotating family, and the 4-cam fusion CNN (pytorch/CNNs.py:189-237).
+    Failures and budget exhaustion only cost the extra lines, never the
+    headline."""
+    for (metric, mt, in_ch, out_ch, cams, batch, mode, headroom,
+         baseline, baseline_kind) in _zoo_schedule():
         # --no-deadline runs have no watchdog: the deadline gate is
         # meaningless there (a long claim stall would otherwise leave
         # "negative headroom" and skip the zoo forever)
@@ -421,7 +509,9 @@ def bench_zoo_spare_budget() -> None:
                 "metric": metric,
                 "value": round(frames, 1),
                 "unit": "frames/sec/chip",
-                "vs_baseline": round(frames / BASELINE_FPS, 3),
+                "vs_baseline": round(frames / baseline, 3),
+                "baseline": baseline,
+                "baseline_kind": baseline_kind,
                 "samples_per_s": round(sps, 1),
                 "path": mode,
                 "batch": batch,
@@ -469,7 +559,7 @@ def main() -> None:
     # relay noise vs real regression (round-3 verdict weak #4)
     rates = [K_LARGE * B / t for t in times_l]
     fps = K_LARGE * B / t_l
-    _set_headline(fps, _spread(rates))
+    _set_headline(fps, {**_spread(rates), "value_kind": "whole_run_rate"})
     _log(f"whole-run rate {fps:.0f} fps (t={t_l:.3f}s, "
          f"spread {min(rates):.0f}-{max(rates):.0f})")
 
@@ -489,7 +579,8 @@ def main() -> None:
                 # so marginal >= whole-run; cap runaway noise at +20%)
                 if fps <= m_fps <= fps * 1.2:
                     fps = m_fps
-                    _set_headline(fps, _spread(rates))
+                    _set_headline(fps, {**_spread(rates),
+                                        "value_kind": "marginal_rate"})
                     _log(f"marginal rate {fps:.0f} fps")
                 else:
                     _set_headline(fps, _spread(rates))
@@ -503,15 +594,31 @@ def main() -> None:
         _log("skipping marginal refinement (budget)")
 
     # --- optional second metric: train-step throughput ---------------------
+    # two augmentation variants (round-4 verdict #7): the mild ±15° config
+    # and the worst-case ±180° one, whose separable-warp canvases are the
+    # widest (DESIGN.md "Augmentation") — so the train-side warp work is
+    # driver-measurable round over round.
     if "--infer" not in sys.argv and _since_claim() < TRAIN_BUDGET_S:
         try:
-            tr = bench_train()
+            tr = bench_train(rotation_range=15.0)
             _set_headline(fps, {
                 "train_step_throughput": {
                     "value": round(tr, 1), "unit": "frames/sec/chip",
+                    "rotation_range": 15.0,
                 }
             })
-            _log(f"train-step {tr:.0f} fps")
+            _log(f"train-step {tr:.0f} fps (rot ±15°)")
+            if _since_claim() < TRAIN2_BUDGET_S:
+                tr180 = bench_train(rotation_range=180.0)
+                _set_headline(fps, {
+                    "train_step_throughput_rot180": {
+                        "value": round(tr180, 1), "unit": "frames/sec/chip",
+                        "rotation_range": 180.0,
+                    }
+                })
+                _log(f"train-step {tr180:.0f} fps (rot ±180°)")
+            else:
+                _log("skipping ±180° train variant (budget)")
         except Exception as e:
             _log(f"train bench failed (headline unaffected): {e!r}")
     elif "--infer" not in sys.argv:
@@ -522,17 +629,57 @@ def main() -> None:
     bench_zoo_spare_budget()
 
 
+def _cli_zoo_family(name: str) -> None:
+    """Offline helper: bench ONE zoo family by short name (vit / ftl /
+    resnet / gptnet / multicam) and print its JSON line."""
+    from pose_estimation_amitai_tpu import constants as C
+
+    table = {
+        "vit": ("vit_serving_throughput",
+                C.MODEL_18_POINTS_PER_WING_VIT, 4, 18, 1, 512, "bf16",
+                BASELINE_FPS, "flagship_target"),
+        "ftl": ("ftl_serving_throughput",
+                C.ALL_CAMS_DISENTANGLED_PER_WING_CNN, 16, 72, 4, 128,
+                "int8", 7195.0, "bf16_roofline"),
+        "resnet": ("resnet_serving_throughput",
+                   C.RESNET_18_POINTS_PER_WING, 4, 18, 1, 256, "int8",
+                   17280.0, "bf16_roofline"),
+        "gptnet": ("gptnet_serving_throughput",
+                   C.GPTNET, 4, 18, 1, 256, "int8",
+                   41040.0, "bf16_roofline"),
+        "multicam": ("multicam_serving_throughput",
+                     C.ALL_CAMS_18_POINTS, 16, 72, 4, 256, "int8",
+                     1040.0, "bf16_roofline"),
+    }
+    metric, mt, in_ch, out_ch, cams, batch, mode, baseline, kind = \
+        table[name]
+    sps = _bench_family(mt, in_ch, out_ch, batch, mode)
+    frames = sps * cams
+    print(json.dumps({
+        "metric": metric, "value": round(frames, 1),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(frames / baseline, 3),
+        "baseline": baseline, "baseline_kind": kind,
+        "samples_per_s": round(sps, 1), "path": mode, "batch": batch,
+        "model_type": mt,
+    }), flush=True)
+
+
 if __name__ == "__main__":
     if "--no-deadline" not in sys.argv:
         _start_watchdog()
     else:
         _STATE["no_deadline"] = True
-    if "--train" in sys.argv:
-        fps = bench_train()
+    if "--zoo-family" in sys.argv:
+        _cli_zoo_family(sys.argv[sys.argv.index("--zoo-family") + 1])
+    elif "--train" in sys.argv:
+        rot = 180.0 if "--rot180" in sys.argv else 15.0
+        fps = bench_train(rotation_range=rot)
         _STATE["out"] = {
             "metric": "train_step_throughput",
             "value": round(fps, 1),
             "unit": "frames/sec/chip",
+            "rotation_range": rot,
         }
         _emit(hard_exit=False)
     else:

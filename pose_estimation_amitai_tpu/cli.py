@@ -92,6 +92,14 @@ def _preprocessed(args):
         box = pre.get_box().astype(np.float32)
         confmaps = pre.get_confmaps().astype(np.float32)
     use_q = bool(getattr(args, "quantized", False))
+    # tri-state --fast-softmax: auto = Predictor's serving heuristic
+    # (engage for argmax peaks-only), on/off = explicit. ``eval`` defaults
+    # to OFF: its L2/confidence numbers are the accuracy surface, so the
+    # approximate bf16 softmax chain must be an opt-in there, not a
+    # serving auto-engagement (advisor r4).
+    fast_sm = {"auto": None, "on": True, "off": False}[
+        getattr(args, "fast_softmax", "auto")
+    ]
     predictor = Predictor.from_checkpoint(
         cfg, args.checkpoint,
         image_shape=tuple(box.shape[1:]),
@@ -104,6 +112,7 @@ def _preprocessed(args):
         quantized_layers=getattr(args, "quantized_layers", None),
         import_reference=bool(getattr(args, "import_reference", False)),
         dim_head=getattr(args, "dim_head", None),
+        fast_softmax=fast_sm,
     )
     return cfg, pre, box, confmaps, predictor
 
@@ -169,6 +178,13 @@ def cmd_eval(args) -> int:
 
     _, _, box, confmaps, predictor = _preprocessed(args)
     stats = evaluate_l2(predictor, box, confmaps)
+    # document which softmax chain produced these numbers (the bf16
+    # fast chain is approximate; eval defaults to the exact one)
+    stats["softmax"] = (
+        "fast_bf16"
+        if getattr(predictor.model, "fast_softmax", None) is True
+        else "exact"
+    )
     print(json.dumps(stats, indent=2))
     return 0
 
@@ -291,6 +307,15 @@ def main(argv: list[str] | None = None) -> int:
             help="explicit attention head width for imported torch ViT "
                  "checkpoints whose (heads, dim_head) split is "
                  "shape-ambiguous (pytorch/VITs.py:212)",
+        )
+        s.add_argument(
+            "--fast-softmax", choices=("auto", "on", "off"),
+            default=("off" if name == "eval" else "auto"),
+            help="ViT bf16 softmax chain (approximate, ~3 significant "
+                 "digits; argmax-parity pinned on random-init fixtures "
+                 "only). 'auto' engages it for argmax peaks-only serving; "
+                 "eval defaults to 'off' so reported L2/confidence is "
+                 "computed with the exact f32 chain",
         )
         s.add_argument(
             "--import-reference", action="store_true",

@@ -985,6 +985,43 @@ def import_keras_h5(path: str) -> ImportedModel:
 # native snapshots of imported checkpoints
 # ---------------------------------------------------------------------------
 IMPORT_SNAPSHOT_FORMAT = "imported_reference_v1"
+# explicit file magic: snapshot detection must not hinge on flax/msgpack
+# key-ordering internals (advisor r4). Legacy magic-less files are still
+# recognised by a structural peek of the first msgpack map key.
+IMPORT_SNAPSHOT_MAGIC = b"#PEAT-IMPORT-SNAPSHOT:v1\n"
+
+
+def _first_msgpack_map_key(head: bytes) -> str | None:
+    """Decode the first map key of a msgpack buffer, or ``None`` when the
+    buffer does not start with a map whose first key is a short string.
+    Covers the encodings flax's serializer emits for dict payloads
+    (fixmap/map16/map32 + fixstr/str8 keys) without parsing the payload."""
+    if not head:
+        return None
+    b0 = head[0]
+    if 0x80 <= b0 <= 0x8F:          # fixmap
+        i = 1
+    elif b0 == 0xDE:                # map 16
+        i = 3
+    elif b0 == 0xDF:                # map 32
+        i = 5
+    else:
+        return None
+    if i >= len(head):
+        return None
+    k0 = head[i]
+    if 0xA0 <= k0 <= 0xBF:          # fixstr
+        n, j = k0 - 0xA0, i + 1
+    elif k0 == 0xD9 and i + 1 < len(head):  # str 8
+        n, j = head[i + 1], i + 2
+    else:
+        return None
+    if j + n > len(head):
+        return None
+    try:
+        return head[j:j + n].decode("utf-8")
+    except UnicodeDecodeError:
+        return None
 
 
 def save_imported_snapshot(imported: ImportedModel, path: str) -> None:
@@ -1015,6 +1052,7 @@ def save_imported_snapshot(imported: ImportedModel, path: str) -> None:
     }
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
+        f.write(IMPORT_SNAPSHOT_MAGIC)
         f.write(serialization.to_bytes(payload))
     import os
 
@@ -1030,14 +1068,20 @@ def load_imported_snapshot(path: str) -> ImportedModel | None:
 
     try:
         with open(path, "rb") as f:
-            # cheap sniff before the full parse: the payload dict is
-            # written insertion-ordered, so its "format" key appears in
-            # the first few bytes — avoids fully msgpack-restoring every
-            # multi-hundred-MB NON-snapshot checkpoint just to say None
+            # cheap sniff before the full parse — avoids fully
+            # msgpack-restoring every multi-hundred-MB NON-snapshot
+            # checkpoint just to say None. New files carry an explicit
+            # magic; legacy magic-less files are recognised by decoding
+            # the first msgpack map key structurally (NOT a substring
+            # scan, which depended on flax's key insertion order and
+            # could false-positive on coincidental bytes).
             head = f.read(64)
-            if b"format" not in head:
+            if head.startswith(IMPORT_SNAPSHOT_MAGIC):
+                f.seek(len(IMPORT_SNAPSHOT_MAGIC))
+            elif _first_msgpack_map_key(head) == "format":
+                f.seek(0)
+            else:
                 return None
-            f.seek(0)
             restored = serialization.msgpack_restore(f.read())
     except Exception:
         return None

@@ -126,6 +126,19 @@ def save_params(path: str, params) -> str:
     return path
 
 
+def _read_payload_bytes(path: str) -> bytes:
+    """Read a msgpack payload, stripping the imported-snapshot file magic
+    when present (importers.IMPORT_SNAPSHOT_MAGIC) so snapshot files stay
+    loadable by the generic params/variables readers."""
+    from ..importers import IMPORT_SNAPSHOT_MAGIC
+
+    with open(path, "rb") as f:
+        data = f.read()
+    if data.startswith(IMPORT_SNAPSHOT_MAGIC):
+        data = data[len(IMPORT_SNAPSHOT_MAGIC):]
+    return data
+
+
 def load_params(path: str, template=None):
     """Load a params pytree from a weights-only snapshot, a full
     checkpoint/best-model payload, or a run directory (best preferred)."""
@@ -135,8 +148,7 @@ def load_params(path: str, template=None):
             if os.path.exists(cand):
                 path = cand
                 break
-    with open(path, "rb") as f:
-        data = f.read()
+    data = _read_payload_bytes(path)
     restored = serialization.msgpack_restore(data)
     if isinstance(restored, dict) and {"params", "opt_state"} <= set(restored):
         restored = restored["params"]  # full TrainState payload
@@ -160,8 +172,7 @@ def load_variables(path: str, params_template=None):
             if os.path.exists(cand):
                 path = cand
                 break
-    with open(path, "rb") as f:
-        restored = serialization.msgpack_restore(f.read())
+    restored = serialization.msgpack_restore(_read_payload_bytes(path))
     batch_stats = {}
     if isinstance(restored, dict) and (
         {"params", "opt_state"} <= set(restored)

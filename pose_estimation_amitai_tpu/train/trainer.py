@@ -47,6 +47,47 @@ from .loop import (
 )
 
 
+def _graft_tree(tgt, src, what: str):
+    """Validate-and-cast ``src`` into the template tree ``tgt``.
+
+    Both trees are flattened WITH key paths and compared as key->leaf
+    maps, so equal-leaf-count trees with different key sets report the
+    actual missing/extra keys instead of a misaligned zip's bogus shape
+    table (advisor r4), and every per-leaf shape mismatch is named before
+    any cast happens (a silently grafted wrong-width coarse model only
+    fails later as a cryptic lax conv shape error)."""
+    tu = jax.tree_util
+    tgt_map = {tu.keystr(kp): t for kp, t in tu.tree_flatten_with_path(tgt)[0]}
+    src_map = {tu.keystr(kp): v for kp, v in tu.tree_flatten_with_path(src)[0]}
+    missing = sorted(set(tgt_map) - set(src_map))
+    extra = sorted(set(src_map) - set(tgt_map))
+    if missing or extra:
+        parts = []
+        if missing:
+            parts.append("missing " + ", ".join(missing[:5]))
+        if extra:
+            parts.append("unexpected " + ", ".join(extra[:5]))
+        raise ValueError(
+            f"{what} tree does not match the model's "
+            f"({len(src_map)} loaded leaves vs {len(tgt_map)} expected; "
+            + "; ".join(parts)
+            + " — is resnet_flavor/arch/num_blocks set right?)"
+        )
+    mismatches = [
+        f"{k}: {tuple(tgt_map[k].shape)} vs {tuple(np.shape(src_map[k]))}"
+        for k in tgt_map
+        if tuple(tgt_map[k].shape) != tuple(np.shape(src_map[k]))
+    ]
+    if mismatches:
+        raise ValueError(
+            f"{what} shapes do not match the model's "
+            "(is resnet_flavor/arch set right?): " + "; ".join(mismatches[:5])
+        )
+    return jax.tree_util.tree_map(
+        lambda t, v: jnp.asarray(v).astype(t.dtype), tgt, src
+    )
+
+
 class _CkptSync:
     """Synchronous stand-in for AsyncCheckpointer (async_checkpoint=0).
 
@@ -278,15 +319,12 @@ class Trainer:
                 loaded = import_reference_checkpoint(
                     cfg.coarse_model_path
                 ).params
-                loaded = jax.tree_util.tree_map(
-                    lambda t, v: jnp.asarray(v).astype(t.dtype),
-                    params["coarse"], loaded,
-                )
             else:
-                loaded = ckpt.load_params(cfg.coarse_model_path,
-                                          params["coarse"])
+                loaded = ckpt.load_params(cfg.coarse_model_path)
             params = dict(params)
-            params["coarse"] = loaded
+            params["coarse"] = _graft_tree(
+                params["coarse"], loaded, "coarse model"
+            )
             self.state = self.state.replace(params=params)
         if cfg.pretrained_encoder_path:
             enc_key = "encoder" if "encoder" in params else None
@@ -344,42 +382,18 @@ class Trainer:
                             int(tgt["stem"]["kernel"].shape[2]),
                         ),
                     }
-                tgt_flat = jax.tree_util.tree_flatten_with_path(tgt)[0]
-                src_flat = jax.tree_util.tree_leaves(src)
-                if len(tgt_flat) != len(src_flat):
-                    # structure mismatch (e.g. wrong resnet depth/flavor:
-                    # different proj-conv presence) — raise the friendly
-                    # error instead of tree_map's cryptic structure one
-                    raise ValueError(
-                        "pretrained encoder tree does not match the "
-                        f"model's ({len(src_flat)} loaded leaves vs "
-                        f"{len(tgt_flat)} expected — is resnet_flavor/"
-                        "arch set right?)"
-                    )
-                mismatches = [
-                    f"{jax.tree_util.keystr(kp)}: {tuple(t.shape)} vs "
-                    f"{tuple(np.shape(v))}"
-                    for (kp, t), v in zip(tgt_flat, src_flat)
-                    if tuple(t.shape) != tuple(np.shape(v))
-                ]
-                if mismatches:
-                    raise ValueError(
-                        "pretrained encoder shapes do not match the "
-                        f"model's (is resnet_flavor/arch set right?): "
-                        + "; ".join(mismatches[:5])
-                    )
                 params = dict(params)
-                params[enc_key] = jax.tree_util.tree_map(
-                    lambda t, v: jnp.asarray(v).astype(t.dtype), tgt, src
+                params[enc_key] = _graft_tree(
+                    tgt, src, "pretrained encoder"
                 )
                 self.state = self.state.replace(params=params)
                 enc_stats = (loaded_stats or {}).get("encoder")
                 if enc_stats and isinstance(self.state.batch_stats, dict) \
                         and "encoder" in self.state.batch_stats:
                     bs = dict(self.state.batch_stats)
-                    bs["encoder"] = jax.tree_util.tree_map(
-                        lambda t, v: jnp.asarray(v).astype(t.dtype),
+                    bs["encoder"] = _graft_tree(
                         bs["encoder"], enc_stats,
+                        "pretrained encoder BN stats",
                     )
                     self.state = self.state.replace(batch_stats=bs)
 

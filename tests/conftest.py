@@ -35,11 +35,42 @@ def pytest_report_header(config):
     """Make the quick-gate default loud (advisor r3: targeted single-file
     runs silently deselect non-quick tests via pytest.ini addopts)."""
     if getattr(config.option, "markexpr", "") == "quick":
-        return [
+        lines = [
             "NOTE: pytest.ini addopts selects ONLY -m quick (the CI gate "
             "subset). Non-quick tests in this run are DESELECTED — use "
             'jobs/test_full.sh or `pytest -m ""` for the full suite.'
         ]
+        # freshness stamp: when did the OFFLINE half last run green?
+        # (jobs/test_full.sh writes it; the r4 full run caught 2 stale
+        # tests the quick gate missed, so staleness is a real signal)
+        import datetime
+        import json
+
+        stamp_path = os.path.join(
+            os.path.dirname(__file__), ".full_suite_stamp.json"
+        )
+        try:
+            with open(stamp_path) as f:
+                stamp = json.load(f)
+            age = (
+                datetime.date.today()
+                - datetime.date.fromisoformat(stamp["date"])
+            ).days
+            msg = (
+                f"full suite last green: {stamp['date']} "
+                f"({stamp['passed']} passed @ {stamp['commit']})"
+            )
+            if age > 1:
+                msg += (
+                    f" — {age} days STALE; run jobs/test_full.sh"
+                )
+            lines.append(msg)
+        except Exception:
+            lines.append(
+                "full suite has NO freshness stamp — run "
+                "jobs/test_full.sh for the offline half"
+            )
+        return lines
     return []
 
 

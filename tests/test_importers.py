@@ -14,6 +14,8 @@ Ground truth is produced live:
   tensorflow/Network.py:416-474.
 """
 
+import json
+
 import numpy as np
 import pytest
 
@@ -1578,3 +1580,69 @@ def test_imported_checkpoint_serves_quantized_with_peak_parity(tmp_path):
     got = np.stack([pts[:, 1, :], pts[:, 0, :]], axis=-1)  # -> [y, x]
     d = np.linalg.norm(got - ref_pk, axis=-1)
     assert np.median(d) <= 1.0, np.median(d)
+
+
+@pytest.mark.quick
+def test_snapshot_magic_and_legacy_detection(tmp_path):
+    """advisor r4: snapshot detection must not hinge on a substring scan
+    of flax's msgpack key insertion order. New files carry an explicit
+    file magic; legacy magic-less files are detected by structurally
+    decoding the first msgpack map key; near-miss files (first key merely
+    *starting* with 'format') are rejected."""
+    from flax import serialization
+
+    from pose_estimation_amitai_tpu.importers import (
+        IMPORT_SNAPSHOT_FORMAT,
+        IMPORT_SNAPSHOT_MAGIC,
+        ImportedModel,
+        load_imported_snapshot,
+        save_imported_snapshot,
+    )
+    from pose_estimation_amitai_tpu.train import checkpoint as ckpt
+
+    imported = ImportedModel(
+        params={"encoder": {"w": np.arange(6, dtype=np.float32)}},
+        model_kind="basic_cnn", arch_flavor="tf",
+        arch_kwargs={"out_channels": 3, "in_channels": 4},
+    )
+
+    # new-format file: magic prefix present, loads through both readers
+    path = str(tmp_path / "snap.msgpack")
+    save_imported_snapshot(imported, path)
+    with open(path, "rb") as f:
+        assert f.read(len(IMPORT_SNAPSHOT_MAGIC)) == IMPORT_SNAPSHOT_MAGIC
+    snap = load_imported_snapshot(path)
+    assert snap is not None and snap.model_kind == "basic_cnn"
+    params = ckpt.load_params(path)  # generic reader strips the magic
+    np.testing.assert_array_equal(
+        np.asarray(params["encoder"]["w"]), imported.params["encoder"]["w"]
+    )
+
+    # legacy magic-less file (written by rounds <= 4): still recognised
+    legacy = str(tmp_path / "legacy.msgpack")
+    payload = {
+        "format": IMPORT_SNAPSHOT_FORMAT,
+        "params": imported.params,
+        "batch_stats": {},
+        "meta": json.dumps({
+            "model_kind": "basic_cnn", "arch_flavor": "tf",
+            "arch_kwargs": imported.arch_kwargs,
+        }),
+    }
+    with open(legacy, "wb") as f:
+        f.write(serialization.to_bytes(payload))
+    snap = load_imported_snapshot(legacy)
+    assert snap is not None and snap.arch_flavor == "tf"
+
+    # near-miss: first map key 'formatter' must NOT be detected (the old
+    # 64-byte substring scan false-positived on this)
+    near = str(tmp_path / "near.msgpack")
+    with open(near, "wb") as f:
+        f.write(serialization.to_bytes({"formatter": {"x": np.zeros(2)}}))
+    assert load_imported_snapshot(near) is None
+
+    # garbage / truncated files: None, no exception
+    junk = str(tmp_path / "junk.bin")
+    with open(junk, "wb") as f:
+        f.write(b"\x81")
+    assert load_imported_snapshot(junk) is None

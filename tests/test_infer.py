@@ -432,3 +432,54 @@ def test_quantized_disentangled_predictor_builds_and_runs():
     pts = p(frames)
     assert pts.shape == (S, 3, out_ch)
     assert np.isfinite(pts[:, :2]).all()
+
+
+@pytest.mark.quick
+def test_cli_eval_defaults_to_exact_softmax(tmp_path, capsys):
+    """advisor r4: ``cli eval`` is the accuracy surface — the approximate
+    bf16 fast-softmax chain must NOT auto-engage there (it remains an
+    explicit opt-in via --fast-softmax on), and the emitted JSON documents
+    which chain produced the numbers."""
+    import json as _json
+
+    from pose_estimation_amitai_tpu import constants as C
+    from pose_estimation_amitai_tpu.cli import main as cli_main
+    from pose_estimation_amitai_tpu.config import Config
+    from pose_estimation_amitai_tpu.data.synthetic import write_synthetic_h5
+    from pose_estimation_amitai_tpu.models import build_model
+    from pose_estimation_amitai_tpu.train import checkpoint as ckpt
+
+    data = str(tmp_path / "data.h5")
+    write_synthetic_h5(data, num_frames=3, num_points=8, image_size=48)
+
+    cfg_path = str(tmp_path / "config.json")
+    with open(cfg_path, "w") as f:
+        _json.dump({"model type": C.MODEL_18_POINTS_PER_WING_VIT,
+                    "batch size": 4, "model parameters": {
+                        "patch size": 16, "projection dim": 32,
+                        "num heads": 2, "transformer layers": 1}}, f)
+    cfg = Config.from_json(cfg_path)
+    # mirror cmd_eval's channel derivation (same Preprocessor)
+    from pose_estimation_amitai_tpu.data.preprocess import Preprocessor
+
+    pre = Preprocessor(cfg.replace(data_path=data, debug_mode=False))
+    pre.do_preprocess()
+    in_shape = tuple(pre.get_box().shape[1:])
+    out_ch = pre.get_confmaps().shape[-1]
+    model = build_model(cfg, in_shape, out_ch)
+    params = model.init(
+        {"params": jax.random.key(0)},
+        jnp.zeros((1, *in_shape), jnp.bfloat16), train=False,
+    )["params"]
+    ckpt_path = str(tmp_path / "params.msgpack")
+    ckpt.save_params(ckpt_path, params)
+
+    assert cli_main(["eval", cfg_path, ckpt_path, data,
+                     "--chunk-size", "8"]) == 0
+    stats = _json.loads(capsys.readouterr().out)
+    assert stats["softmax"] == "exact"
+
+    assert cli_main(["eval", cfg_path, ckpt_path, data,
+                     "--chunk-size", "8", "--fast-softmax", "on"]) == 0
+    stats = _json.loads(capsys.readouterr().out)
+    assert stats["softmax"] == "fast_bf16"

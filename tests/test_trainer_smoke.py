@@ -219,3 +219,37 @@ def test_best_min_rel_delta_gates_best_writes(tmp_path, arrays, monkeypatch):
     # cannot improve 99% on a finite loss
     assert best_writes == [0], calls
     assert trainer.best_loss == min(history["val_loss"])
+
+
+@pytest.mark.quick
+def test_graft_tree_validation():
+    """advisor r4: pretrained/coarse grafts must name missing/extra keys
+    (equal-leaf-count trees with different key sets used to misalign the
+    zip) and every shape mismatch, before any cast happens."""
+    import jax.numpy as jnp
+
+    from pose_estimation_amitai_tpu.train.trainer import _graft_tree
+
+    tgt = {"a": jnp.zeros((2, 3)), "b": {"w": jnp.zeros((4,))}}
+
+    # happy path casts into the template dtype
+    out = _graft_tree(
+        tgt, {"a": np.ones((2, 3), np.float64), "b": {"w": np.ones(4)}},
+        "coarse model",
+    )
+    assert out["a"].dtype == tgt["a"].dtype
+    np.testing.assert_array_equal(np.asarray(out["b"]["w"]), np.ones(4))
+
+    # same leaf count, different key set: names the keys, no bogus shapes
+    with pytest.raises(ValueError, match=r"missing .*'b'.*'w'"):
+        _graft_tree(
+            tgt, {"a": np.ones((2, 3)), "c": {"w": np.ones(4)}},
+            "pretrained encoder",
+        )
+
+    # shape mismatch: named per-leaf before any cast
+    with pytest.raises(ValueError, match=r"\(2, 3\) vs \(3, 2\)"):
+        _graft_tree(
+            tgt, {"a": np.ones((3, 2)), "b": {"w": np.ones(4)}},
+            "coarse model",
+        )
