@@ -366,6 +366,8 @@ def _bench_family(model_type: str, in_ch: int, out_ch: int,
         model = model.clone(normalize_output=False)  # peaks-only serving
     if getattr(model, "fast_softmax", None) is False:
         model = model.clone(fast_softmax=True)  # bf16 softmax chain
+    if getattr(model, "fused_serving", None) is False:
+        model = model.clone(fused_serving=True)  # r5 fused ViT trunk
     rng = np.random.default_rng(0)
     base = jnp.asarray(rng.random((batch, hw, hw, in_ch)), jnp.bfloat16)
     extra = ()

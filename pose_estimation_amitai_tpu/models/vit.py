@@ -31,6 +31,26 @@ from .layers import TORCH_ALPHA, leaky
 Dtype = Any
 
 
+class _DenseParams(nn.Module):
+    """Claims nn.Dense's exact param tree (``kernel``[, ``bias``]) without
+    applying it (fused serving paths consume the weights algebraically)."""
+
+    in_dim: int
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.linear.default_kernel_init,
+            (self.in_dim, self.features), jnp.float32,
+        )
+        b = (self.param("bias", nn.initializers.zeros, (self.features,),
+                        jnp.float32)
+             if self.use_bias else None)
+        return k, b
+
+
 class Attention(nn.Module):
     """Pre-LN multi-head self-attention with fused qkv.
 
@@ -58,10 +78,24 @@ class Attention(nn.Module):
     # materialisation is the trunk's dominant non-matmul cost). Training
     # and heatmap-returning paths keep the f32 softmax.
     fast_softmax: bool = False
+    # Serving-only switch (round-5, engaged with fast_softmax): an exact
+    # algebraic rewrite of the SAME param tree — the per-head V projection
+    # and the output projection are merged (W_vo[h] = Wv[h] @ Wo[h],
+    # associativity of the chain attn_h @ (x Wv_h) Wo_h), so the
+    # (B, N, heads*dim_head) attention output is never materialised and
+    # the to_out GEMM disappears; the softmax output contracts straight
+    # to model dim over (tokens, heads) in ONE dot_general.
+    # Exact in real arithmetic; bf16 rounding differs slightly, so it is
+    # a serving-only switch like fast_softmax (argmax parity pinned in
+    # tests/test_models.py).
+    fused_serving: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         inner = self.dim_head * self.heads
+        if (self.fused_serving and self.pre_norm and self.fast_softmax
+                and not train):
+            return self._fused_forward(x)
         y = (nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
              if self.pre_norm else x.astype(jnp.float32))
         qkv = nn.Dense(inner * 3, use_bias=self.qkv_bias, dtype=self.dtype,
@@ -97,6 +131,59 @@ class Attention(nn.Module):
         return nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
                         name="to_out")(out)
 
+    def _fused_forward(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Merged V/out projection (see ``fused_serving``).
+
+        Reads the IDENTICAL param tree as the module path (to_qkv / to_out
+        via the param-claiming helpers) and computes the same function with
+        one fewer GEMM and one fewer materialised intermediate per block.
+        (An LN->qkv weight fold was measured too: its wide f32 epilogue
+        over the 6144-wide qkv output cost MORE than the small LN it
+        removed — scripts/exp_vit_fused.py — so the real LayerNorm stays.)
+        """
+        b, n, dim = x.shape
+        h, dh = self.heads, self.dim_head
+        inner = dh * h
+        y = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
+        wqkv, bqkv = _DenseParams(dim, inner * 3, use_bias=self.qkv_bias,
+                                  name="to_qkv")()
+        wo, bo = _DenseParams(inner, self.dim, name="to_out")()
+        scale = dh**-0.5
+        w3 = wqkv.reshape(dim, 3, h, dh)
+        wq = w3[:, 0].reshape(dim, inner) * scale  # softmax scale folded
+        wk = w3[:, 1].reshape(dim, inner)
+        wo_h = wo.reshape(h, dh, self.dim)
+        # W_vo[h] = Wv[h] @ Wo[h]: associativity of attn @ (x Wv) Wo
+        wvo = jnp.einsum("dhe,heo->dho", w3[:, 2], wo_h)
+        w_all = jnp.concatenate(
+            [wq, wk, wvo.reshape(dim, h * self.dim)], axis=1
+        )
+        d = jnp.zeros((2 * inner + h * self.dim,), jnp.float32)
+        out_const = jnp.zeros((self.dim,), jnp.float32)
+        if bqkv is not None:
+            b3 = bqkv.reshape(3, h, dh)
+            d = d + jnp.concatenate([
+                b3[0].reshape(inner) * scale, b3[1].reshape(inner),
+                jnp.zeros((h * self.dim,), jnp.float32),
+            ])
+            # softmax rows sum to 1, so the V bias contracts to a constant
+            out_const = jnp.einsum("hd,hdo->o", b3[2], wo_h)
+        z = y.astype(self.dtype) @ w_all.astype(self.dtype)
+        if bqkv is not None:
+            z = z + d.astype(self.dtype)
+        q = z[..., :inner].reshape(b, n, h, dh)
+        k = z[..., inner:2 * inner].reshape(b, n, h, dh)
+        vt = z[..., 2 * inner:].reshape(b, n, h, self.dim)
+        logits = jnp.einsum("bnhd,bmhd->bnmh", q, k)
+        mx = jnp.max(logits, axis=2, keepdims=True)
+        e = jnp.exp(logits - mx)
+        s = jnp.sum(e, axis=2, keepdims=True, dtype=jnp.float32)
+        attn = (e.astype(jnp.float32) / s).astype(self.dtype)
+        # ONE contraction over (tokens, heads) straight to model dim — the
+        # (B, N, inner) attention output and the to_out GEMM never exist
+        out = jnp.einsum("bnmh,bmhe->bne", attn, vt)
+        return out + (bo + out_const).astype(self.dtype)
+
 
 class FeedForward(nn.Module):
     """LN -> Dense -> GELU -> Dense (reference: pytorch_vit_encoder.py:12-28)."""
@@ -107,6 +194,11 @@ class FeedForward(nn.Module):
     dtype: Dtype = jnp.bfloat16
     pre_norm: bool = True  # False: raw input (tf post-LN blocks norm after)
     activation: str = "gelu"  # tf flavour uses relu (vitPose.py:71)
+    # accepted for interface symmetry with Attention.fused_serving; an
+    # LN->fc1 weight fold was built and measured NEGATIVE (the f32 epilogue
+    # over the wide fc1 output outweighs the removed LN pass,
+    # scripts/exp_vit_fused.py) — the module path is the fast path here.
+    fused_serving: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
@@ -140,6 +232,7 @@ class Transformer(nn.Module):
     dtype: Dtype = jnp.bfloat16
     flavor: str = "torch"
     fast_softmax: bool = False  # see Attention.fast_softmax (serving-only)
+    fused_serving: bool = False  # see Attention.fused_serving (serving-only)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
@@ -163,8 +256,10 @@ class Transformer(nn.Module):
         for i in range(self.depth):
             x = Attention(self.dim, self.heads, self.dim_head, self.dropout,
                           self.dtype, fast_softmax=self.fast_softmax,
+                          fused_serving=self.fused_serving,
                           name=f"attn{i}")(x, train=train) + x
             x = FeedForward(self.dim, self.mlp_dim, self.dropout, self.dtype,
+                            fused_serving=self.fused_serving,
                             name=f"ff{i}")(x, train=train) + x
         return nn.LayerNorm(dtype=jnp.float32, name="final_norm")(x)
 
@@ -307,6 +402,7 @@ class ViTPoseNet(nn.Module):
     normalize_output: bool = True  # see CNNDecoderViT.normalize_output
     ref_token_grid: bool = False  # see CNNDecoderViT.ref_token_grid
     fast_softmax: bool = False  # see Attention.fast_softmax (serving-only)
+    fused_serving: bool = False  # see Attention.fused_serving (serving-only)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
@@ -317,6 +413,7 @@ class ViTPoseNet(nn.Module):
                              self.dim * self.mlp_expand, self.dropout,
                              self.dtype, flavor=self.flavor,
                              fast_softmax=self.fast_softmax,
+                             fused_serving=self.fused_serving,
                              name="transformer")(tokens, train=train)
         return CNNDecoderViT(self.out_channels, self.dim, self.kernel_size,
                              self.flavor, self.dtype,
@@ -336,12 +433,14 @@ class CrossAttentionFuse(nn.Module):
     output_dim: int
     dtype: Dtype = jnp.bfloat16
     fast_softmax: bool = False  # see Attention.fast_softmax (serving-only)
+    fused_serving: bool = False  # see Attention.fused_serving (serving-only)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         y = Transformer(self.input_dim, depth=1, heads=4,
                         dim_head=self.output_dim, mlp_dim=self.output_dim,
                         dtype=self.dtype, fast_softmax=self.fast_softmax,
+                        fused_serving=self.fused_serving,
                         name="transformer")(x, train=train)
         y = nn.LayerNorm(dtype=jnp.float32, name="norm")(y)
         y = nn.Dense(self.output_dim, dtype=self.dtype,
@@ -369,6 +468,7 @@ class ViT4Cameras(nn.Module):
     dtype: Dtype = jnp.bfloat16
     normalize_output: bool = True  # see CNNDecoderViT.normalize_output
     fast_softmax: bool = False  # see Attention.fast_softmax (serving-only)
+    fused_serving: bool = False  # see Attention.fused_serving (serving-only)
     # Fold the 4 camera views into the BATCH axis for the shared encoder,
     # fusion blocks and decoder (one dispatch at 4x batch instead of 4
     # sequential passes; per-(sample, view) min-max normalisation is
@@ -387,9 +487,11 @@ class ViT4Cameras(nn.Module):
         encoder = Transformer(self.dim, self.depth, self.heads, self.dim_head,
                               self.dim * self.mlp_expand, self.dropout,
                               self.dtype, fast_softmax=self.fast_softmax,
+                              fused_serving=self.fused_serving,
                               name="shared_encoder")
         fuses = [CrossAttentionFuse(self.dim * 5, self.dim, self.dtype,
                                     fast_softmax=self.fast_softmax,
+                                    fused_serving=self.fused_serving,
                                     name=f"fuse{i}")
                  for i in range(self.num_fuse_layers)]
         decoder = CNNDecoderViT(self.out_channels // num_cams, self.dim,

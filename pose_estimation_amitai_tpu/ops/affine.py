@@ -52,6 +52,8 @@ def sample_augment_params(
     do_horizontal_flip: bool = True,
     do_vertical_flip: bool = True,
     shear_range: float = 0.0,
+    rotation_low: float = 0.0,
+    quadrants: bool = False,
 ) -> AugmentParams:
     """Draw per-sample augmentation parameters.
 
@@ -62,11 +64,31 @@ def sample_augment_params(
     ``shear_range`` (degrees) is the keras ``ImageDataGenerator(shear_range=)``
     knob the TF stack's stock augmentation path uses
     (tensorflow/Augmentor.py:44): uniform shear intensity in +-shear_range.
+
+    ``rotation_low``/``quadrants`` serve the canvas-bucketed warp (see
+    :func:`rotation_buckets`): the angle MAGNITUDE is drawn uniform in
+    [rotation_low, rotation_range] with a random sign, and ``quadrants``
+    adds a uniform multiple of 90 deg (full-turn configs — the rot90
+    pre-transform of the separable warp absorbs the quadrant exactly).
     """
     k_ang, k_sc, k_sx, k_sy, k_fh, k_fv, k_sh = jax.random.split(key, 7)
-    angle = jax.random.uniform(
-        k_ang, (batch,), minval=-rotation_range, maxval=rotation_range
-    )
+    if rotation_low > 0.0 or quadrants:
+        k_mag, k_sgn, k_q = jax.random.split(k_ang, 3)
+        mag = jax.random.uniform(
+            k_mag, (batch,), minval=rotation_low, maxval=rotation_range
+        )
+        sign = jnp.where(
+            jax.random.bernoulli(k_sgn, 0.5, (batch,)), 1.0, -1.0
+        )
+        angle = sign * mag
+        if quadrants:
+            angle = angle + 90.0 * jax.random.randint(
+                k_q, (batch,), 0, 4
+            ).astype(jnp.float32)
+    else:
+        angle = jax.random.uniform(
+            k_ang, (batch,), minval=-rotation_range, maxval=rotation_range
+        )
     scale = jax.random.uniform(
         k_sc, (batch,), minval=zoom_range[0], maxval=zoom_range[1]
     )
@@ -280,6 +302,48 @@ def _shear_limit(rotation_range: float, shear_range: float = 0.0) -> float:
     canvases, so small-rotation configs stay cheap."""
     deg = min(abs(float(rotation_range)) + abs(float(shear_range)), 45.0)
     return min(1.0, float(np.tan(np.deg2rad(deg))) * 1.01 + 0.01)
+
+
+def rotation_buckets(
+    rotation_range: float, shear_range: float = 0.0
+) -> list[tuple[float, float, bool]] | None:
+    """Partition the rotation draw into <=3 canvas-width buckets.
+
+    The separable warp's intermediate canvases are sized by the STATIC
+    shear bound tan(rotation range) (DESIGN.md "Augmentation"), so a
+    +-180 deg config pays the 2x-wide worst-case canvas on every sample
+    even though most draws are mild. Bucketing the |angle| draw into
+    equal-measure thirds and compiling one warp per bucket (``lax.switch``
+    on a per-STEP bucket index) keeps every shape static while the
+    EXPECTED canvas width drops to the mean of the three bounds; the
+    marginal per-sample angle distribution is exactly unchanged (uniform
+    bucket index x uniform magnitude within the bucket = uniform overall).
+    The one behavioural delta: samples within one microbatch share a
+    magnitude class (the step-level index) — class mixing happens across
+    steps, which SGD does not notice.
+
+    Returns ``[(low_deg, high_deg, quadrants), ...]`` or ``None`` when
+    bucketing cannot help / be exact: ranges <= 20 deg (canvas already
+    narrow), partial turns in (45, 180) (the rot90-normalised residual of
+    a uniform draw is NOT uniform there), and shear-augmented configs
+    (the keras shear adds to the bound independently of the angle).
+    """
+    r = abs(float(rotation_range))
+    if shear_range or r <= 20.0:
+        return None
+    if r <= 45.0:
+        dom, quad = r, False
+    elif r >= 180.0:
+        # uniform full turn == uniform quadrant + uniform +-45 residual;
+        # the rot90 pre-transform absorbs the quadrant exactly
+        dom, quad = 45.0, True
+    else:
+        return None
+    return [
+        (0.0, dom / 3.0, quad),
+        (dom / 3.0, 2.0 * dom / 3.0, quad),
+        (2.0 * dom / 3.0, dom, quad),
+    ]
 
 
 def _kernel_weights(d: jax.Array, order: int) -> jax.Array:
@@ -587,7 +651,69 @@ def augment_views_and_peaks(
       (warped images, rendered (B, H, W, V*k) confmaps, (B, V, 3, 3)
       per-view forward matrices — camera-matrix models compose these into
       P/P_inv via :func:`..geometry.compose_affine_into_cameras`).
+
+    Wide-rotation configs on the separable path are canvas-BUCKETED
+    (see :func:`rotation_buckets`): a per-call bucket index selects one of
+    three compiled warp branches via ``lax.switch``, so mild draws pay a
+    narrow intermediate canvas instead of the worst-case one.
     """
+    buckets = (
+        rotation_buckets(rotation_range, shear_range)
+        if method == "separable" else None
+    )
+    if buckets:
+        from functools import partial
+
+        bkey, akey = jax.random.split(key)
+        bidx = jax.random.randint(bkey, (), 0, len(buckets))
+        branches = [
+            partial(
+                _augment_views_core,
+                num_views=num_views, sigma=sigma,
+                rotation_range=hi, rotation_low=lo, quadrants=qd,
+                xy_shifts=xy_shifts, zoom_range=zoom_range,
+                do_horizontal_flip=do_horizontal_flip,
+                do_vertical_flip=do_vertical_flip,
+                shear_range=shear_range, order=order, method=method,
+                shear_limit=_shear_limit(hi, shear_range),
+            )
+            for (lo, hi, qd) in buckets
+        ]
+        return jax.lax.switch(
+            bidx, branches, akey, images, peaks_xy, peak_vals
+        )
+    return _augment_views_core(
+        key, images, peaks_xy, peak_vals, num_views=num_views, sigma=sigma,
+        rotation_range=rotation_range, rotation_low=0.0, quadrants=False,
+        xy_shifts=xy_shifts, zoom_range=zoom_range,
+        do_horizontal_flip=do_horizontal_flip,
+        do_vertical_flip=do_vertical_flip, shear_range=shear_range,
+        order=order, method=method,
+        shear_limit=_shear_limit(rotation_range, shear_range),
+    )
+
+
+def _augment_views_core(
+    key: jax.Array,
+    images: jax.Array,
+    peaks_xy: jax.Array,
+    peak_vals: jax.Array,
+    *,
+    num_views: int,
+    sigma: float,
+    rotation_range: float,
+    rotation_low: float,
+    quadrants: bool,
+    xy_shifts: float,
+    zoom_range: tuple[float, float],
+    do_horizontal_flip: bool,
+    do_vertical_flip: bool,
+    shear_range: float,
+    order: int,
+    method: str,
+    shear_limit: float,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """One (possibly bucket-constrained) draw + warp + target re-render."""
     from .gaussian import confmaps_from_peaks
 
     b, h, w, ctot = images.shape
@@ -600,6 +726,8 @@ def augment_views_and_peaks(
         do_horizontal_flip=do_horizontal_flip,
         do_vertical_flip=do_vertical_flip,
         shear_range=shear_range,
+        rotation_low=rotation_low,
+        quadrants=quadrants,
     )
     mats = make_affine_matrix(params, h, w)  # (B*V, 3, 3)
 
@@ -615,8 +743,7 @@ def augment_views_and_peaks(
         imgs_v = images
     if method == "separable":
         warped = affine_warp_separable_batch(
-            imgs_v, mats, order,
-            shear_limit=_shear_limit(rotation_range, shear_range),
+            imgs_v, mats, order, shear_limit=shear_limit,
         )
     else:
         warped = affine_warp_batch(imgs_v, mats, order)
@@ -669,6 +796,59 @@ def augment_pair(
     targets never go negative (the exact order-1 warp never produced
     negatives).
     """
+    buckets = (
+        rotation_buckets(rotation_range, shear_range)
+        if method == "separable" else None
+    )
+    if buckets:
+        from functools import partial
+
+        bkey, akey = jax.random.split(key)
+        bidx = jax.random.randint(bkey, (), 0, len(buckets))
+        branches = [
+            partial(
+                _augment_pair_core,
+                rotation_range=hi, rotation_low=lo, quadrants=qd,
+                xy_shifts=xy_shifts, zoom_range=zoom_range,
+                do_horizontal_flip=do_horizontal_flip,
+                do_vertical_flip=do_vertical_flip,
+                shear_range=shear_range, order=order, method=method,
+                num_views=num_views,
+                shear_limit=_shear_limit(hi, shear_range),
+            )
+            for (lo, hi, qd) in buckets
+        ]
+        return jax.lax.switch(bidx, branches, akey, images, confmaps)
+    return _augment_pair_core(
+        key, images, confmaps,
+        rotation_range=rotation_range, rotation_low=0.0, quadrants=False,
+        xy_shifts=xy_shifts, zoom_range=zoom_range,
+        do_horizontal_flip=do_horizontal_flip,
+        do_vertical_flip=do_vertical_flip, shear_range=shear_range,
+        order=order, method=method, num_views=num_views,
+        shear_limit=_shear_limit(rotation_range, shear_range),
+    )
+
+
+def _augment_pair_core(
+    key: jax.Array,
+    images: jax.Array,
+    confmaps: jax.Array,
+    *,
+    rotation_range: float,
+    rotation_low: float,
+    quadrants: bool,
+    xy_shifts: float,
+    zoom_range: tuple[float, float],
+    do_horizontal_flip: bool,
+    do_vertical_flip: bool,
+    shear_range: float,
+    order: int,
+    method: str,
+    num_views: int,
+    shear_limit: float,
+) -> tuple[jax.Array, jax.Array]:
+    """One (possibly bucket-constrained) draw + fused image+confmap warp."""
     b, h, w, ci = images.shape
     cm = confmaps.shape[-1]
     v = int(num_views)
@@ -681,6 +861,8 @@ def augment_pair(
         do_horizontal_flip=do_horizontal_flip,
         do_vertical_flip=do_vertical_flip,
         shear_range=shear_range,
+        rotation_low=rotation_low,
+        quadrants=quadrants,
     )
     mats = make_affine_matrix(params, h, w)
 
@@ -708,8 +890,7 @@ def augment_pair(
         )
     if method == "separable":
         warped = affine_warp_separable_batch(
-            stacked, mats, order,
-            shear_limit=_shear_limit(rotation_range, shear_range),
+            stacked, mats, order, shear_limit=shear_limit,
         )
     else:
         warped = affine_warp_batch(stacked, mats, order)

@@ -261,3 +261,93 @@ def test_vit4cam_view_fold_bit_parity():
     c = unfolded.apply({"params": params}, x, train=False)
     np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.quick
+def test_vit_fused_serving_parity():
+    """Round-5 fused trunk (models/vit.py Attention.fused_serving: LN
+    folded into the qkv kernel + merged V/out projection): identical
+    param tree AND init values, argmax peak parity vs the unfused fast
+    chain, heatmaps within bf16 rounding; infer.Predictor engages it with
+    the fast chain and disables it when the exact softmax is forced."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as _np
+
+    from pose_estimation_amitai_tpu.infer import Predictor
+    from pose_estimation_amitai_tpu.models.vit import ViT4Cameras, ViTPoseNet
+    from pose_estimation_amitai_tpu.ops import peaks as peaks_ops
+
+    vit = ViTPoseNet(out_channels=6, patch_size=16, dim=64, depth=2,
+                     heads=2, dim_head=64, mlp_expand=2,
+                     normalize_output=False, fast_softmax=True)
+    rng = _np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((4, 48, 48, 4)), jnp.float32)
+    params = vit.init({"params": jax.random.key(1)}, x, train=False)["params"]
+    fused_model = vit.clone(fused_serving=True)
+    # the fused path claims the IDENTICAL param tree (same names, shapes,
+    # init stream) — checkpoints serve through it unchanged
+    params_f = fused_model.init({"params": jax.random.key(1)}, x,
+                                train=False)["params"]
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(params_f)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(params_f)):
+        _np.testing.assert_array_equal(_np.asarray(a), _np.asarray(b))
+
+    def assert_argmax_near_parity(a, b, min_agree=0.85, tie_tol=5e-3):
+        """Approximate serving contract: argmax peaks agree except at
+        GENUINE near-ties — wherever they differ, the reference map's
+        values at the two competing locations must be within ``tie_tol``
+        of each other (random-init fixtures are full of exact ties, which
+        bf16-level drift legitimately flips)."""
+        a = _np.asarray(a, _np.float32)
+        b = _np.asarray(b, _np.float32)
+        bsz, hh, ww, kk = a.shape
+        fa = a.reshape(bsz, hh * ww, kk)
+        fb = b.reshape(bsz, hh * ww, kk)
+        ia = fa.argmax(axis=1)
+        ib = fb.argmax(axis=1)
+        agree = (ia == ib).mean()
+        assert agree >= min_agree, f"argmax agreement {agree:.2%}"
+        bi, ki = _np.nonzero(ia != ib)
+        va = fa[bi, ia[bi, ki], ki]
+        vb = fa[bi, ib[bi, ki], ki]
+        _np.testing.assert_allclose(va, vb, rtol=0, atol=tie_tol)
+
+    base = vit.apply({"params": params}, x, train=False)
+    fused = fused_model.apply({"params": params}, x, train=False)
+    assert_argmax_near_parity(base, fused)
+    _np.testing.assert_allclose(
+        _np.asarray(fused, _np.float32), _np.asarray(base, _np.float32),
+        rtol=0.05, atol=0.05,
+    )
+
+    # training path is untouched by the flag (exact LN/Dense modules)
+    tr_base = vit.apply({"params": params}, x, train=True,
+                        rngs={"dropout": jax.random.key(0)})
+    tr_fused = fused_model.apply({"params": params}, x, train=True,
+                                 rngs={"dropout": jax.random.key(0)})
+    _np.testing.assert_array_equal(_np.asarray(tr_base),
+                                   _np.asarray(tr_fused))
+
+    # 4-camera ViT rides the same switch (shared encoder + fusion blocks)
+    v4 = ViT4Cameras(out_channels=8, patch_size=16, dim=32, depth=1,
+                     heads=2, dim_head=32, mlp_expand=2, num_fuse_layers=1,
+                     normalize_output=False, fast_softmax=True)
+    x4 = jnp.asarray(rng.standard_normal((2, 48, 48, 8)), jnp.float32)
+    p4 = v4.init({"params": jax.random.key(3)}, x4, train=False)["params"]
+    b4 = v4.apply({"params": p4}, x4, train=False)
+    f4 = v4.clone(fused_serving=True).apply({"params": p4}, x4, train=False)
+    assert_argmax_near_parity(b4, f4)
+
+    cfg = Config(model_type=C.MODEL_18_POINTS_PER_WING_VIT,
+                 projection_dim=64, num_heads=2, transformer_layers=2,
+                 fully_connected_expand=2)
+    p_auto = Predictor(cfg, params, (48, 48, 4), 6, chunk_size=4,
+                       model=vit.clone(fast_softmax=False))
+    assert p_auto.model.fast_softmax is True
+    assert p_auto.model.fused_serving is True
+    p_exact = Predictor(cfg, params, (48, 48, 4), 6, chunk_size=4,
+                        model=vit, fast_softmax=False)
+    assert p_exact.model.fused_serving is False

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from scipy.ndimage import rotate as scipy_rotate
 from scipy.ndimage import shift as scipy_shift
 
@@ -313,3 +314,57 @@ def test_augment_pair_confmaps_nonnegative():
         key, images, confmaps, rotation_range=30.0, xy_shifts=5.0,
     )
     assert float(jnp.min(warped_maps)) >= 0.0
+
+
+@pytest.mark.quick
+def test_rotation_buckets_partition():
+    """Bucket helper (round-5 canvas bucketing): exact equal-measure
+    partitions for the supported ranges, None where bucketing cannot be
+    exact or cannot help."""
+    assert affine.rotation_buckets(15.0) is None          # narrow canvas
+    assert affine.rotation_buckets(60.0) is None          # partial turn
+    assert affine.rotation_buckets(30.0, shear_range=5.0) is None
+    b45 = affine.rotation_buckets(45.0)
+    assert b45 == [(0.0, 15.0, False), (15.0, 30.0, False),
+                   (30.0, 45.0, False)]
+    b180 = affine.rotation_buckets(180.0)
+    assert [q for _, _, q in b180] == [True, True, True]
+    assert b180[-1][1] == 45.0
+    # buckets partition contiguously
+    for (lo1, hi1, _), (lo2, _, _) in zip(b180, b180[1:]):
+        assert hi1 == lo2
+
+
+@pytest.mark.quick
+def test_bucketed_rotation_warp_consistency():
+    """Full-turn augmentation through the bucketed ``lax.switch`` path:
+    the warped image's blob must land exactly where the returned forward
+    matrix (and hence the re-rendered target) says it should — a wrong
+    per-bucket shear_limit would cut or shift content silently."""
+    from pose_estimation_amitai_tpu.ops import gaussian
+
+    h = w = 96
+    bsz = 4
+    peaks0 = jnp.tile(jnp.array([[30.0, 36.0]]), (bsz, 1))[:, None, :]
+    img = gaussian.confmaps_from_peaks(peaks0, (h, w), 2.0)  # (B, h, w, 1)
+    hits = 0
+    for i in range(6):
+        warped, maps, mats = affine.augment_views_and_peaks(
+            jax.random.key(i), img, peaks0, jnp.ones((bsz, 1)),
+            rotation_range=180.0, xy_shifts=5.0, zoom_range=(0.9, 1.1),
+        )
+        new_pk = np.asarray(affine.transform_points(peaks0, mats[:, 0]))
+        for b in range(bsz):
+            x, y = new_pk[b, 0]
+            if not (6 <= x <= w - 7 and 6 <= y <= h - 7):
+                continue  # blob warped out of frame: nothing to check
+            wm = np.asarray(warped[b, :, :, 0])
+            iy, ix = np.unravel_index(wm.argmax(), wm.shape)
+            assert abs(ix - x) <= 1.5 and abs(iy - y) <= 1.5, (
+                i, b, (ix, iy), (x, y)
+            )
+            tm = np.asarray(maps[b, :, :, 0])
+            ty, tx = np.unravel_index(tm.argmax(), tm.shape)
+            assert abs(tx - x) <= 1.0 and abs(ty - y) <= 1.0
+            hits += 1
+    assert hits >= 8  # enough in-frame draws to be a real check
