@@ -366,8 +366,6 @@ def _bench_family(model_type: str, in_ch: int, out_ch: int,
         model = model.clone(normalize_output=False)  # peaks-only serving
     if getattr(model, "fast_softmax", None) is False:
         model = model.clone(fast_softmax=True)  # bf16 softmax chain
-    if getattr(model, "fused_serving", None) is False:
-        model = model.clone(fused_serving=True)  # r5 fused ViT trunk
     rng = np.random.default_rng(0)
     base = jnp.asarray(rng.random((batch, hw, hw, in_ch)), jnp.bfloat16)
     extra = ()
@@ -473,8 +471,10 @@ def _zoo_schedule() -> list[tuple]:
     n_rounds = len(glob.glob(os.path.join(here, "BENCH_r*.json")))
     pick = rotating[max(0, n_rounds - 4) % len(rotating)]
     return [
+        # batch 768 measured +1-4.5% over 512 for this family
+        # (scripts/exp_vit_fused.py batch sweep, 2026-08-21)
         ("vit_serving_throughput",
-         C.MODEL_18_POINTS_PER_WING_VIT, 4, 18, 1, 512, "bf16",
+         C.MODEL_18_POINTS_PER_WING_VIT, 4, 18, 1, 768, "bf16",
          ZOO_VIT_HEADROOM_S, BASELINE_FPS, "flagship_target"),
         pick,
         ("multicam_serving_throughput",
@@ -638,7 +638,7 @@ def _cli_zoo_family(name: str) -> None:
 
     table = {
         "vit": ("vit_serving_throughput",
-                C.MODEL_18_POINTS_PER_WING_VIT, 4, 18, 1, 512, "bf16",
+                C.MODEL_18_POINTS_PER_WING_VIT, 4, 18, 1, 768, "bf16",
                 BASELINE_FPS, "flagship_target"),
         "ftl": ("ftl_serving_throughput",
                 C.ALL_CAMS_DISENTANGLED_PER_WING_CNN, 16, 72, 4, 128,

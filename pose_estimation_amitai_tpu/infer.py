@@ -162,18 +162,13 @@ class Predictor:
             # honour the explicit disable even when the caller passed a
             # model object that already had the fast chain engaged
             self.model = self.model.clone(fast_softmax=False)
-        # round-5 companion switch: the fused trunk (LN->qkv weight fold +
-        # merged V/out projection, models/vit.py Attention.fused_serving)
-        # rides the same argmax peaks-only gate as fast_softmax — exact
-        # algebra, bf16-rounding-level output drift, argmax parity pinned
-        # in tests/test_models.py. Disabled whenever the exact softmax
-        # chain is forced (accuracy surfaces).
-        if (
-            getattr(self.model, "fast_softmax", None) is True
-            and engage_fast
-            and getattr(self.model, "fused_serving", None) is False
-        ):
-            self.model = self.model.clone(fused_serving=True)
+        # models/vit.py Attention.fused_serving (merged V/out projection)
+        # is NOT auto-engaged: measured ~10% SLOWER than the two-GEMM
+        # einsum form on v5e at batches 512-1024 (scripts/exp_vit_fused.py,
+        # 2026-08-21) — XLA's batched-per-head attention GEMMs beat the
+        # single (tokens, heads)-contracting GEMM. The switch stays
+        # available (exact param tree, parity pinned in tests) for future
+        # toolchains.
         self._needs_cams = needs_camera_matrices(cfg.model_type)
         self.cameras = None
         if cameras is not None:

@@ -135,7 +135,7 @@ def quantize_params(params, act_scales: dict[str, float]):
 
 def make_quantized_fused_forward(
     model: BasicNet, params, act_scales, out_dtype=jnp.float32,
-    interpret: bool = False,
+    interpret: bool = False, max_chunk: int = 8,
 ):
     """int8 forward with Pallas-fused encoder stages.
 
@@ -201,7 +201,10 @@ def make_quantized_fused_forward(
     def forward(x):
         from .fast_infer import chunked_batch_map
 
-        lat = chunked_batch_map(encoder_int8, x)
+        # max_chunk caps the pallas grid per call (8 was the round-2
+        # compile-helper ceiling; the round-5 toolchain accepts larger
+        # grids — scripts/exp_fused_stage_bench.py sweeps this)
+        lat = chunked_batch_map(encoder_int8, x, max_chunk=max_chunk)
         d2s = lambda a, w: _deconv_s2(a, w, acc=jnp.int32)
         d1s = lambda a, w: _deconv_s1(a, w, acc=jnp.int32)
         y1 = b16(_leaky(qconv_pre("deconv1", lat, d2s)))

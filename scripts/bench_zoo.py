@@ -99,10 +99,8 @@ def bench_one(key: str, budget_s: float = 420.0) -> dict:
         # bf16 softmax chain (argmax-parity pinned in tests/test_models.py)
         # — mirrors infer.Predictor's argmax peaks-only serving default
         model = model.clone(fast_softmax=True)
-    if getattr(model, "fused_serving", None) is False and \
-            "--exact-softmax" not in sys.argv:
-        # r5 fused ViT trunk (LN fold + merged V/out) — same serving gate
-        model = model.clone(fused_serving=True)
+    # fused_serving (merged V/out) measured ~10% SLOWER than the einsum
+    # form on v5e (scripts/exp_vit_fused.py) — not engaged
 
     rng = np.random.default_rng(0)
     base = jnp.asarray(rng.random((batch, hw, hw, in_ch)), jnp.bfloat16)

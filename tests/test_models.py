@@ -347,7 +347,9 @@ def test_vit_fused_serving_parity():
     p_auto = Predictor(cfg, params, (48, 48, 4), 6, chunk_size=4,
                        model=vit.clone(fast_softmax=False))
     assert p_auto.model.fast_softmax is True
-    assert p_auto.model.fused_serving is True
+    # fused_serving measured SLOWER on v5e (scripts/exp_vit_fused.py) and
+    # is therefore NOT auto-engaged — available only as an explicit clone
+    assert p_auto.model.fused_serving is False
     p_exact = Predictor(cfg, params, (48, 48, 4), 6, chunk_size=4,
                         model=vit, fast_softmax=False)
     assert p_exact.model.fused_serving is False
