@@ -294,6 +294,9 @@ def affine_warp_batch(
     )
 
 
+_BUCKET_MIN_HEIGHT = 96  # below this the canvas saving is noise vs 3x compile
+
+
 def _shear_limit(rotation_range: float, shear_range: float = 0.0) -> float:
     """Static bound on the separable warp's shear coefficients for a given
     rotation (+ keras shear) range in degrees: |tan| of the rot90-normalised
@@ -331,6 +334,7 @@ def rotation_buckets(
     r = abs(float(rotation_range))
     if shear_range or r <= 20.0:
         return None
+    # (callers additionally gate on image height >= _BUCKET_MIN_HEIGHT)
     if r <= 45.0:
         dom, quad = r, False
     elif r >= 180.0:
@@ -655,11 +659,15 @@ def augment_views_and_peaks(
     Wide-rotation configs on the separable path are canvas-BUCKETED
     (see :func:`rotation_buckets`): a per-call bucket index selects one of
     three compiled warp branches via ``lax.switch``, so mild draws pay a
-    narrow intermediate canvas instead of the worst-case one.
+    narrow intermediate canvas instead of the worst-case one. Tiny images
+    (below ``_BUCKET_MIN_HEIGHT``) skip bucketing — the canvas saving is
+    a few pixels there while the 3x warp compile is real (test fixtures,
+    the driver dryrun's 48px shapes).
     """
     buckets = (
         rotation_buckets(rotation_range, shear_range)
-        if method == "separable" else None
+        if method == "separable" and images.shape[1] >= _BUCKET_MIN_HEIGHT
+        else None
     )
     if buckets:
         from functools import partial
@@ -798,7 +806,8 @@ def augment_pair(
     """
     buckets = (
         rotation_buckets(rotation_range, shear_range)
-        if method == "separable" else None
+        if method == "separable" and images.shape[1] >= _BUCKET_MIN_HEIGHT
+        else None
     )
     if buckets:
         from functools import partial
