@@ -116,7 +116,7 @@ _STATE: dict = {"out": None, "device_ready": None, "emitted": False}
 # bounds the damage after the headline is already out).
 ZOO_VIT_HEADROOM_S = 150.0
 ZOO_ROTATING_HEADROOM_S = 160.0
-ZOO_MULTICAM_HEADROOM_S = 80.0
+ZOO_MULTICAM_HEADROOM_S = 110.0
 _EMIT_LOCK = threading.Lock()
 SCALES_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "bench_scales.npz")
@@ -432,6 +432,42 @@ def _bench_family(model_type: str, in_ch: int, out_ch: int,
     return whole
 
 
+def _zoo_family_table() -> dict:
+    """Single source of truth for every zoo family's serving config and
+    per-family baseline (consumed by BOTH the driver-run schedule and the
+    --zoo-family offline helper, so the two paths can never drift).
+
+    name -> (metric, model_type, in_ch, out_ch, cams, batch, mode,
+    baseline_fps, baseline_kind). ``baseline`` semantics (round-4 verdict
+    #6): per-wing families measure against the flagship 5,000 fps target;
+    heavier multicam families against a bf16-roofline frame budget
+    (197 TFLOP/s / GFLOP-per-sample * cams; GFLOP/sample measured in
+    RESULTS.md: fusion 757.3, FTL 109.5, resnet 11.4, gptnet 4.8), so
+    vs_baseline ~ 1.0 reads "at its own ceiling" instead of "fraction of
+    the flagship target"."""
+    from pose_estimation_amitai_tpu import constants as C
+
+    return {
+        # batch 768 measured +1-4.5% over 512 for this family
+        # (scripts/exp_vit_fused.py batch sweep, 2026-08-21)
+        "vit": ("vit_serving_throughput",
+                C.MODEL_18_POINTS_PER_WING_VIT, 4, 18, 1, 768, "bf16",
+                BASELINE_FPS, "flagship_target"),
+        "ftl": ("ftl_serving_throughput",
+                C.ALL_CAMS_DISENTANGLED_PER_WING_CNN, 16, 72, 4, 128,
+                "int8", 7195.0, "bf16_roofline"),
+        "resnet": ("resnet_serving_throughput",
+                   C.RESNET_18_POINTS_PER_WING, 4, 18, 1, 256, "int8",
+                   17280.0, "bf16_roofline"),
+        "gptnet": ("gptnet_serving_throughput",
+                   C.GPTNET, 4, 18, 1, 256, "int8",
+                   41040.0, "bf16_roofline"),
+        "multicam": ("multicam_serving_throughput",
+                     C.ALL_CAMS_18_POINTS, 16, 72, 4, 256, "int8",
+                     1040.0, "bf16_roofline"),
+    }
+
+
 def _zoo_schedule() -> list[tuple]:
     """The zoo lines for THIS run: two fixed slots (ViT per-wing, 4-cam
     fusion) + one rotating slot (round-4 verdict #2) so every serving
@@ -442,44 +478,18 @@ def _zoo_schedule() -> list[tuple]:
     input path, reference pytorch/CNNs.py:240-352), then ResNet50
     (tensorflow/Network.py:377-414), then GPTNet (NNs warehouse/NNs.py).
 
-    Tuple: (metric, model_type, in_ch, out_ch, cams, batch, mode,
-    headroom_s, baseline_fps, baseline_kind).  ``baseline`` is
-    per-family (round-4 verdict #6): per-wing families measure against
-    the flagship 5,000 fps target; heavier multicam families against a
-    roofline-derived frame budget (GFLOP/sample from scripts/roofline.py
-    HLO cost analysis x the v5e-1 bf16 peak), so vs_baseline ~ 1.0 reads
-    "at its own ceiling" instead of "fraction of the flagship target"."""
+    Returns (name, headroom_s) pairs resolved against
+    :func:`_zoo_family_table`."""
     import glob
 
-    from pose_estimation_amitai_tpu import constants as C
-
-    # bf16-roofline frame budgets: 197 TFLOP/s / GFLOP-per-sample * cams
-    # (GFLOP/sample measured in RESULTS.md: fusion 757.3, FTL 109.5,
-    # resnet 11.4, gptnet 4.8)
-    rotating = [
-        ("ftl_serving_throughput",
-         C.ALL_CAMS_DISENTANGLED_PER_WING_CNN, 16, 72, 4, 128, "int8",
-         ZOO_ROTATING_HEADROOM_S, 7195.0, "bf16_roofline"),
-        ("resnet_serving_throughput",
-         C.RESNET_18_POINTS_PER_WING, 4, 18, 1, 256, "int8",
-         ZOO_ROTATING_HEADROOM_S, 17280.0, "bf16_roofline"),
-        ("gptnet_serving_throughput",
-         C.GPTNET, 4, 18, 1, 256, "int8",
-         ZOO_ROTATING_HEADROOM_S, 41040.0, "bf16_roofline"),
-    ]
     here = os.path.dirname(os.path.abspath(__file__))
     n_rounds = len(glob.glob(os.path.join(here, "BENCH_r*.json")))
-    pick = rotating[max(0, n_rounds - 4) % len(rotating)]
+    rotating = ["ftl", "resnet", "gptnet"][max(0, n_rounds - 4) % 3]
+    table = _zoo_family_table()
     return [
-        # batch 768 measured +1-4.5% over 512 for this family
-        # (scripts/exp_vit_fused.py batch sweep, 2026-08-21)
-        ("vit_serving_throughput",
-         C.MODEL_18_POINTS_PER_WING_VIT, 4, 18, 1, 768, "bf16",
-         ZOO_VIT_HEADROOM_S, BASELINE_FPS, "flagship_target"),
-        pick,
-        ("multicam_serving_throughput",
-         C.ALL_CAMS_18_POINTS, 16, 72, 4, 256, "int8",
-         ZOO_MULTICAM_HEADROOM_S, 1040.0, "bf16_roofline"),
+        table["vit"] + (ZOO_VIT_HEADROOM_S,),
+        table[rotating] + (ZOO_ROTATING_HEADROOM_S,),
+        table["multicam"] + (ZOO_MULTICAM_HEADROOM_S,),
     ]
 
 
@@ -491,8 +501,8 @@ def bench_zoo_spare_budget() -> None:
     rotating family, and the 4-cam fusion CNN (pytorch/CNNs.py:189-237).
     Failures and budget exhaustion only cost the extra lines, never the
     headline."""
-    for (metric, mt, in_ch, out_ch, cams, batch, mode, headroom,
-         baseline, baseline_kind) in _zoo_schedule():
+    for (metric, mt, in_ch, out_ch, cams, batch, mode,
+         baseline, baseline_kind, headroom) in _zoo_schedule():
         # --no-deadline runs have no watchdog: the deadline gate is
         # meaningless there (a long claim stall would otherwise leave
         # "negative headroom" and skip the zoo forever)
@@ -633,28 +643,10 @@ def main() -> None:
 
 def _cli_zoo_family(name: str) -> None:
     """Offline helper: bench ONE zoo family by short name (vit / ftl /
-    resnet / gptnet / multicam) and print its JSON line."""
-    from pose_estimation_amitai_tpu import constants as C
-
-    table = {
-        "vit": ("vit_serving_throughput",
-                C.MODEL_18_POINTS_PER_WING_VIT, 4, 18, 1, 768, "bf16",
-                BASELINE_FPS, "flagship_target"),
-        "ftl": ("ftl_serving_throughput",
-                C.ALL_CAMS_DISENTANGLED_PER_WING_CNN, 16, 72, 4, 128,
-                "int8", 7195.0, "bf16_roofline"),
-        "resnet": ("resnet_serving_throughput",
-                   C.RESNET_18_POINTS_PER_WING, 4, 18, 1, 256, "int8",
-                   17280.0, "bf16_roofline"),
-        "gptnet": ("gptnet_serving_throughput",
-                   C.GPTNET, 4, 18, 1, 256, "int8",
-                   41040.0, "bf16_roofline"),
-        "multicam": ("multicam_serving_throughput",
-                     C.ALL_CAMS_18_POINTS, 16, 72, 4, 256, "int8",
-                     1040.0, "bf16_roofline"),
-    }
+    resnet / gptnet / multicam) and print its JSON line (same config +
+    baselines as the driver-run schedule — shared _zoo_family_table)."""
     metric, mt, in_ch, out_ch, cams, batch, mode, baseline, kind = \
-        table[name]
+        _zoo_family_table()[name]
     sps = _bench_family(mt, in_ch, out_ch, batch, mode)
     frames = sps * cams
     print(json.dumps({
@@ -667,13 +659,27 @@ def _cli_zoo_family(name: str) -> None:
     }), flush=True)
 
 
+def _flag_value(flag: str) -> str | None:
+    """Parse ``--flag value`` or ``--flag=value`` from sys.argv; loud
+    error when the flag is present without a value."""
+    for i, a in enumerate(sys.argv):
+        if a == flag:
+            if i + 1 >= len(sys.argv):
+                raise SystemExit(f"{flag} needs a value")
+            return sys.argv[i + 1]
+        if a.startswith(flag + "="):
+            return a.split("=", 1)[1]
+    return None
+
+
 if __name__ == "__main__":
     if "--no-deadline" not in sys.argv:
         _start_watchdog()
     else:
         _STATE["no_deadline"] = True
-    if "--zoo-family" in sys.argv:
-        _cli_zoo_family(sys.argv[sys.argv.index("--zoo-family") + 1])
+    zoo_family = _flag_value("--zoo-family")
+    if zoo_family is not None:
+        _cli_zoo_family(zoo_family)
     elif "--train" in sys.argv:
         rot = 180.0 if "--rot180" in sys.argv else 15.0
         fps = bench_train(rotation_range=rot)

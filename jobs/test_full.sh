@@ -20,7 +20,7 @@
 # when it goes stale — the round-4 full run caught 2 tests the quick gate
 # missed, so freshness of this run is itself a monitored signal.
 set -uo pipefail
-cd "$(dirname "$0")/.."
+cd "$(dirname "$0")/.." || exit 1
 out=$(mktemp)
 python -m pytest tests/ -q -m "" "$@" 2>&1 | tee "$out"
 rc=${PIPESTATUS[0]}

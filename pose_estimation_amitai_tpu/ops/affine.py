@@ -337,9 +337,12 @@ def rotation_buckets(
     # (callers additionally gate on image height >= _BUCKET_MIN_HEIGHT)
     if r <= 45.0:
         dom, quad = r, False
-    elif r >= 180.0:
+    elif r == 180.0:
         # uniform full turn == uniform quadrant + uniform +-45 residual;
-        # the rot90 pre-transform absorbs the quadrant exactly
+        # the rot90 pre-transform absorbs the quadrant exactly. Ranges
+        # in (45, 180) or beyond 180 do NOT reduce to this form (a
+        # uniform +-200 draw mod 360 has double density on part of the
+        # circle) — those fall back to the single-canvas path.
         dom, quad = 45.0, True
     else:
         return None

@@ -76,8 +76,6 @@ def _collect_ops(jaxpr, ops):
             dn = p["dimension_numbers"]
             # flax uses NHWC/HWIO->NHWC; read sizes via dim numbers
             ls, rs, os_ = lhs.shape, rhs.shape, out.shape
-            spatial_out = [os_[i] for i in dn.out_spec[2:]] if hasattr(
-                dn, "out_spec") else None
             # generic: kernel spatial dims + I/O channels from rhs_spec
             rspec = dn.rhs_spec  # (out_c, in_c, *spatial)
             kout = rs[rspec[0]]
@@ -171,7 +169,9 @@ def _marginal_seconds(make_body, consume_init, args,
 
 
 def probe_rate(key, params, avals) -> float:
-    """MACs/sec for one conv/dot geometry, measured in isolation."""
+    """SECONDS per iteration for one conv/dot geometry, measured in
+    isolation (clamped below by the hardware-peak time for its effective
+    MACs); callers divide MACs by this to get the rate."""
     lhs, rhs, out = avals
     a, b = _rand_for(lhs), _rand_for(rhs)
     acc = jnp.int32 if np.issubdtype(lhs.dtype, np.integer) else jnp.float32
@@ -310,7 +310,7 @@ def analyze(name: str, max_probes: int = 8, coverage: float = 0.92) -> dict:
         rates[key] = rate
         print(json.dumps({
             "family": name, "probe": key[0], "dtype": key[1],
-            "out": list(key[4]) if key[0] == "conv" else list(key[4]),
+            "out": list(key[4]),
             "tops": round(2 * rate / 1e12, 1),
             "mac_share": round(macs / total_macs, 3),
         }), file=sys.stderr, flush=True)

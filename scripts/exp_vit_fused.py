@@ -66,8 +66,11 @@ def family_sps(model, variables, batch: int) -> float:
 def main() -> None:
     np.asarray(jnp.zeros(()) + 1)
     batches = [512, 768, 1024]
-    for a in sys.argv[1:]:
-        if a.startswith("--batches"):
+    argv = sys.argv[1:]
+    for i, a in enumerate(argv):
+        if a == "--batches" and i + 1 < len(argv):
+            batches = [int(x) for x in argv[i + 1].split(",")]
+        elif a.startswith("--batches="):
             batches = [int(x) for x in a.split("=", 1)[1].split(",")]
 
     cfg = Config(model_type=C.MODEL_18_POINTS_PER_WING_VIT,

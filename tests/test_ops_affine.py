@@ -323,6 +323,9 @@ def test_rotation_buckets_partition():
     exact or cannot help."""
     assert affine.rotation_buckets(15.0) is None          # narrow canvas
     assert affine.rotation_buckets(60.0) is None          # partial turn
+    # a uniform +-200 draw mod 360 is NOT uniform on the circle — only
+    # exactly +-180 reduces to quadrant + residual (review r5)
+    assert affine.rotation_buckets(200.0) is None
     assert affine.rotation_buckets(30.0, shear_range=5.0) is None
     b45 = affine.rotation_buckets(45.0)
     assert b45 == [(0.0, 15.0, False), (15.0, 30.0, False),
