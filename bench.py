@@ -50,7 +50,9 @@ per-wing, 4-cam fusion CNN) plus ONE ROTATING slot so the whole zoo gets
 driver-verified across rounds without busting one run's budget: the
 rotation picks from [FTL disentangled, ResNet50, GPTNet] by the number of
 BENCH_r*.json artifacts present (rotation started at round 5 = 4 artifacts
-= the FTL family, which exercises the camera-matrix input path). Every
+= the FTL family, which exercises the camera-matrix input path). The
+rotating slot runs FIRST — it is the line no earlier artifact carries, so
+when a claim stall shrinks the budget it is the last to be starved. Every
 zoo line carries its own ``baseline`` + ``baseline_kind`` (per-wing
 families: the flagship 5,000 fps target; heavier multicam families: a
 roofline-derived frame budget) so ``vs_baseline`` ~ 1.0 means "at its own
@@ -114,8 +116,8 @@ _STATE: dict = {"out": None, "device_ready": None, "emitted": False}
 # this much deadline headroom left (warm-cache costs measured ~60-90s per
 # family; a cold compile can still overrun, in which case the watchdog
 # bounds the damage after the headline is already out).
-ZOO_VIT_HEADROOM_S = 150.0
-ZOO_ROTATING_HEADROOM_S = 160.0
+ZOO_VIT_HEADROOM_S = 130.0
+ZOO_ROTATING_HEADROOM_S = 120.0
 ZOO_MULTICAM_HEADROOM_S = 110.0
 _EMIT_LOCK = threading.Lock()
 SCALES_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -486,9 +488,14 @@ def _zoo_schedule() -> list[tuple]:
     n_rounds = len(glob.glob(os.path.join(here, "BENCH_r*.json")))
     rotating = ["ftl", "resnet", "gptnet"][max(0, n_rounds - 4) % 3]
     table = _zoo_family_table()
+    # ORDER = priority under a shrunken budget (a long claim stall eats
+    # into ABS_MAX_S): the rotating family first — it is the line no
+    # prior round's artifact carries — then ViT, then the twice-verified
+    # 4-cam fusion. A 195s claim stall run (2026-08-21) starved the slot
+    # when it ran second.
     return [
-        table["vit"] + (ZOO_VIT_HEADROOM_S,),
         table[rotating] + (ZOO_ROTATING_HEADROOM_S,),
+        table["vit"] + (ZOO_VIT_HEADROOM_S,),
         table["multicam"] + (ZOO_MULTICAM_HEADROOM_S,),
     ]
 
