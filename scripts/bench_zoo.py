@@ -59,7 +59,9 @@ MIXED = {"vit", "vit4cam"}
 
 # model key -> (model_type, in_channels, out_channels, cams, batch)
 ZOO = {
-    "vit": (C.MODEL_18_POINTS_PER_WING_VIT, 4, 18, 1, 512),
+    # batch 768 = the round-5 serving default for this family (+1-4.5%
+    # over 512, scripts/exp_vit_fused.py)
+    "vit": (C.MODEL_18_POINTS_PER_WING_VIT, 4, 18, 1, 768),
     "multicam": (C.ALL_CAMS_18_POINTS, 16, 72, 4, 256),
     "vit4cam": (C.ALL_CAMS_18_POINTS_VIT, 16, 72, 4, 128),
     "disentangled": (C.ALL_CAMS_DISENTANGLED_PER_WING_CNN, 16, 72, 4, 128),
