@@ -583,7 +583,10 @@ def main() -> None:
          f"spread {min(rates):.0f}-{max(rates):.0f})")
 
     # --- refinement: marginal rate between K_SMALL and K_LARGE -------------
-    if _since_claim() < REFINE_BUDGET_S:
+    # --no-deadline runs ignore the budget gates entirely (same rationale
+    # as the zoo section: offline/warming runs must exercise EVERY section
+    # so the persistent compile cache covers the driver's gated run)
+    if _STATE.get("no_deadline") or _since_claim() < REFINE_BUDGET_S:
         try:
             run_small = make(K_SMALL)
             np.asarray(run_small())  # compile + warm
@@ -617,7 +620,8 @@ def main() -> None:
     # and the worst-case ±180° one, whose separable-warp canvases are the
     # widest (DESIGN.md "Augmentation") — so the train-side warp work is
     # driver-measurable round over round.
-    if "--infer" not in sys.argv and _since_claim() < TRAIN_BUDGET_S:
+    if "--infer" not in sys.argv and (_STATE.get("no_deadline")
+                                      or _since_claim() < TRAIN_BUDGET_S):
         try:
             tr = bench_train(rotation_range=15.0)
             _set_headline(fps, {
@@ -627,7 +631,7 @@ def main() -> None:
                 }
             })
             _log(f"train-step {tr:.0f} fps (rot ±15°)")
-            if _since_claim() < TRAIN2_BUDGET_S:
+            if _STATE.get("no_deadline") or _since_claim() < TRAIN2_BUDGET_S:
                 tr180 = bench_train(rotation_range=180.0)
                 _set_headline(fps, {
                     "train_step_throughput_rot180": {
