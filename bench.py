@@ -60,7 +60,8 @@ target/ceiling", not "fraction of the flagship's target". Zoo failures or
 budget exhaustion only cost the extra lines; the headline is already out.
 
 Flags: ``--train`` (train-step bench only), ``--infer`` (skip train metric),
-``--no-deadline`` (disable the watchdog, for offline runs),
+``--no-deadline`` (offline runs: disable the watchdog AND every budget
+gate, so a warming run compiles all six sections),
 ``--zoo-family NAME`` (offline: bench one zoo family by name).
 """
 
