@@ -234,13 +234,20 @@ def bench_train(rotation_range: float = 15.0) -> float:
     )
     model = build_model(cfg, (hw, hw, in_ch), out_ch)
     rng = np.random.default_rng(0)
+    # synthesize the 1.2 GB input pool ON DEVICE (jax.random, fixed keys):
+    # host-side numpy generation + the relay transfer cost 15-25 s per
+    # train variant on a 1-cpu box and sit inside the deadline budget —
+    # the timed program is unchanged (data is an input buffer of the
+    # same shapes/dtypes either way)
+    kb, kp = jax.random.split(jax.random.PRNGKey(0))
     data = {
-        "box": jnp.asarray(rng.random((n_data, hw, hw, in_ch), np.float32)),
-        "peaks": jnp.asarray(
-            rng.uniform(20, hw - 20, (n_data, out_ch, 2)).astype(np.float32)
+        "box": jax.random.uniform(kb, (n_data, hw, hw, in_ch), jnp.float32),
+        "peaks": jax.random.uniform(
+            kp, (n_data, out_ch, 2), jnp.float32, 20.0, hw - 20.0
         ),
         "peak_vals": jnp.ones((n_data, out_ch), jnp.float32),
     }
+    data = jax.tree_util.tree_map(jax.block_until_ready, data)
     sample = {"image": jnp.zeros((TRAIN_B, hw, hw, in_ch), jnp.float32)}
     state = create_train_state(model, cfg, sample)
     train_step = make_train_step(model, cfg)
